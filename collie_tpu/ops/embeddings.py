@@ -1,0 +1,55 @@
+"""Embedding-table initializers and lookup helpers.
+
+Rebuild of the reference's embedding layers
+(``/root/reference/collie/model/base/layers.py:6-17``): ``ScaledEmbedding``
+(normal with std ``1 / (embedding_dim * 2.5)``) and ``ZeroEmbedding`` (zeroed
+bias tables).  In the functional design, "layers" are just initialized arrays
+in the params pytree plus pure lookup functions, which lets the tables be
+row-sharded over a device mesh with no code change.
+"""
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def scaled_embedding_init(rng: jax.Array,
+                          num_embeddings: int,
+                          embedding_dim: int,
+                          dtype=jnp.float32) -> jnp.ndarray:
+    """Normal(0, 1 / (embedding_dim * 2.5)) init (reference ``layers.py:6-10``)."""
+    std = 1.0 / (embedding_dim * 2.5)
+    return std * jax.random.normal(rng, (num_embeddings, embedding_dim), dtype=dtype)
+
+
+def zero_embedding_init(num_embeddings: int,
+                        embedding_dim: Optional[int] = None,
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """Zero-initialized table for bias terms (reference ``layers.py:13-17``).
+
+    With ``embedding_dim=None`` a 1-d bias vector is returned (the reference
+    uses dim-1 embeddings for biases; a vector is the natural jnp shape).
+    """
+    shape: Tuple[int, ...] = (num_embeddings,) if embedding_dim is None \
+        else (num_embeddings, embedding_dim)
+    return jnp.zeros(shape, dtype=dtype)
+
+
+def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Row gather. Under ``jit`` with a row-sharded table this lowers to a
+    GSPMD gather + collective; the explicitly-sharded fast path lives in
+    ``collie_tpu.parallel``."""
+    return jnp.take(table, ids, axis=0)
+
+
+def dropout(rng: Optional[jax.Array],
+            x: jnp.ndarray,
+            rate: float,
+            training: bool) -> jnp.ndarray:
+    """Inverted dropout matching ``torch.nn.Dropout`` semantics used on the
+    embedding outputs (reference ``matrix_factorization.py:130-138``)."""
+    if not training or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)

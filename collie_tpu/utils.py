@@ -1,0 +1,286 @@
+"""Host-side data-prep helpers.
+
+TPU-native rebuild of the reference's ``collie/utils.py`` helper surface
+(``/root/reference/collie/utils.py:24-431``): ratings-matrix construction,
+DataFrame -> ``Interactions`` conversion, implicit conversion, user filtering,
+truncated-normal init, ctor-argument capture, HDF5 export, HTML rendering and a
+wall-clock timer.  All of this is host (numpy / pandas) code — the accelerator
+never sees it.
+"""
+import datetime
+import inspect
+import os
+import time
+import warnings
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from scipy.sparse import coo_matrix
+
+
+def get_random_seed() -> int:
+    """Time-derived random seed (reference: ``utils.py:24-26``)."""
+    return int(datetime.datetime.now().timestamp())
+
+
+def _infer_num_if_needed(num: Union[int, str], array: Iterable[int]) -> int:
+    """Resolve ``'infer'`` to ``max(array) + 1`` (reference: ``utils.py:89-94``)."""
+    if isinstance(num, str):
+        if num != 'infer':
+            raise ValueError(f"Unrecognized num value: {num!r} (expected 'infer' or an int)")
+        return int(np.asarray(array).max()) + 1
+    return int(num)
+
+
+def _create_sparse_ratings_matrix_helper(users: Iterable[int],
+                                         items: Iterable[int],
+                                         ratings: Optional[Iterable[float]] = None,
+                                         num_users: Union[int, str] = 'infer',
+                                         num_items: Union[int, str] = 'infer') -> coo_matrix:
+    """Build a sparse COO users x items ratings matrix (reference: ``utils.py:60-86``)."""
+    users = np.asarray(users)
+    items = np.asarray(items)
+    num_users = _infer_num_if_needed(num_users, users)
+    num_items = _infer_num_if_needed(num_items, items)
+    if ratings is None:
+        ratings = np.ones_like(users, dtype=np.float64)
+    else:
+        ratings = np.asarray(ratings)
+    return coo_matrix((ratings, (users, items)), shape=(num_users, num_items))
+
+
+def create_ratings_matrix(df: pd.DataFrame,
+                          user_col: str = 'user_id',
+                          item_col: str = 'item_id',
+                          ratings_col: str = 'rating',
+                          sparse: bool = False) -> Union[np.ndarray, coo_matrix]:
+    """DataFrame -> dense pivot or sparse COO ratings matrix (reference: ``utils.py:29-86``).
+
+    IDs must start at 0; with ``sparse=False`` a dense ``num_users x num_items``
+    array is returned, otherwise a ``scipy.sparse.coo_matrix``.
+    """
+    if df[user_col].min() != 0 or df[item_col].min() != 0:
+        raise ValueError('User and item IDs must start at 0 to create the ratings matrix.')
+
+    if sparse:
+        return _create_sparse_ratings_matrix_helper(users=df[user_col].values,
+                                                    items=df[item_col].values,
+                                                    ratings=df[ratings_col].values)
+
+    num_users = df[user_col].max() + 1
+    num_items = df[item_col].max() + 1
+    mat = np.zeros((num_users, num_items), dtype=np.float64)
+    mat[df[user_col].values, df[item_col].values] = df[ratings_col].values
+    return mat
+
+
+def df_to_interactions(df: pd.DataFrame,
+                       user_col: str = 'user_id',
+                       item_col: str = 'item_id',
+                       ratings_col: Optional[str] = 'rating',
+                       **kwargs) -> 'Interactions':
+    """DataFrame -> ``Interactions`` (reference: ``utils.py:97-125``)."""
+    from collie_tpu.data import Interactions
+
+    ratings = df[ratings_col].values if ratings_col is not None else None
+    return Interactions(users=df[user_col].values,
+                        items=df[item_col].values,
+                        ratings=ratings,
+                        **kwargs)
+
+
+def convert_to_implicit(df: pd.DataFrame,
+                        min_rating_to_keep: float = 4,
+                        user_col: str = 'user_id',
+                        item_col: str = 'item_id',
+                        ratings_col: str = 'rating') -> pd.DataFrame:
+    """Explicit -> implicit: keep-last dedup, drop sub-threshold ratings, set rating to 1
+    (reference: ``utils.py:128-165``)."""
+    df = df.drop_duplicates(subset=[user_col, item_col], keep='last').copy()
+    df = df[df[ratings_col] >= min_rating_to_keep]
+    df.loc[:, ratings_col] = 1
+    return df.reset_index(drop=True)
+
+
+def remove_users_with_fewer_than_n_interactions(df: pd.DataFrame,
+                                                min_num_of_interactions: int = 3,
+                                                user_col: str = 'user_id') -> pd.DataFrame:
+    """Filter out low-activity users (reference: ``utils.py:168-193``)."""
+    counts = df[user_col].value_counts()
+    keep = counts[counts >= min_num_of_interactions].index
+    return df[df[user_col].isin(keep)].reset_index(drop=True)
+
+
+def trunc_normal(shape: Tuple[int, ...],
+                 mean: float = 0.0,
+                 std: float = 1.0,
+                 seed: Optional[int] = None,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Approximate truncated normal used for embedding init (reference: ``utils.py:196-206``).
+
+    The reference uses the fastai trick ``normal().fmod_(2) * std + mean``; we
+    reproduce the same distribution with numpy on host so parameter init does
+    not depend on torch.
+    """
+    if rng is None:
+        rng = np.random.default_rng(seed)
+    return (np.fmod(rng.standard_normal(shape), 2) * std + mean).astype(np.float32)
+
+
+def get_init_arguments() -> Dict[str, Any]:
+    """Capture the calling ``__init__``'s arguments as a flat kwargs dict.
+
+    Frame-inspection equivalent of the reference's
+    ``get_init_arguments`` (``utils.py:209-246``), used by every model to
+    freeze its hyperparameters for save / load.
+    """
+    frame = inspect.currentframe().f_back
+    args, varargs, varkw, values = inspect.getargvalues(frame)
+    captured = {name: values[name] for name in args if name != 'self'}
+    if varkw is not None:
+        captured.update(values[varkw] or {})
+    return captured
+
+
+def pandas_df_to_hdf5(df: pd.DataFrame,
+                      out_path: Union[str, Path],
+                      key: str = 'interactions') -> None:
+    """Append a DataFrame to an HDF5 file (reference: ``utils.py:249-258``).
+
+    The reference uses ``pandas.HDFStore`` (PyTables); this environment only
+    ships ``h5py``, so we write an equivalent chunked layout: one resizable
+    1-d dataset per column under ``/<key>``.
+    """
+    import h5py
+
+    out_path = str(out_path)
+    with h5py.File(out_path, 'a') as f:
+        grp = f.require_group(key)
+        for col in df.columns:
+            data = df[col].to_numpy()
+            if col in grp:
+                ds = grp[col]
+                old = ds.shape[0]
+                ds.resize((old + len(data),))
+                ds[old:] = data
+            else:
+                grp.create_dataset(col, data=data, maxshape=(None,), chunks=True)
+
+
+def df_to_html(df: pd.DataFrame,
+               image_cols: Iterable[str] = (),
+               hyperlink_cols: Iterable[str] = (),
+               html_tags: Optional[Dict[str, Union[str, Iterable[str]]]] = None,
+               transpose: bool = False,
+               image_width: Optional[int] = None,
+               max_num_rows: int = 200,
+               **kwargs) -> str:
+    """Render a DataFrame to HTML with images / links / tags
+    (reference: ``utils.py:261-408``)."""
+    if html_tags is None:
+        html_tags = {}
+    df = df.head(max_num_rows).copy()
+
+    width_str = f' width="{image_width}"' if image_width is not None else ''
+    for col in image_cols:
+        df[col] = df[col].map(lambda p: f'<img src="{p}"{width_str}>')
+    for col in hyperlink_cols:
+        if col in image_cols:
+            # wrap the image in the anchor rather than double-rendering
+            df[col] = df[col].map(lambda p: f'<a href="{p}">{p}</a>')
+        else:
+            df[col] = df[col].map(lambda p: f'<a href="{p}">{p}</a>')
+    for col, tags in html_tags.items():
+        if isinstance(tags, str):
+            tags = [tags]
+        for tag in tags:
+            df[col] = df[col].map(lambda x: f'<{tag}>{x}</{tag}>')
+
+    if transpose:
+        df = df.T
+    kwargs.setdefault('escape', False)
+    return df.to_html(**kwargs)
+
+
+class Timer:
+    """Wall-clock section timer (reference: ``utils.py:411-431``)."""
+
+    def __init__(self):
+        self.start_time = time.time()
+        self.time = self.start_time
+
+    def timecheck(self, message: str = 'Finished') -> float:
+        now = time.time()
+        delta_mins = (now - self.time) / 60
+        self.time = now
+        print(f'{message} ({delta_mins:.2f} min)')
+        return round(delta_mins, 2)
+
+    def time_since_start(self, message: str = 'Total time') -> float:
+        delta_mins = (time.time() - self.start_time) / 60
+        print(f'{message}: {delta_mins:.2f} min')
+        return round(delta_mins, 2)
+
+
+def merge_docstrings(base_class: type, subclass_doc: Optional[str], init: Any) -> Optional[str]:
+    """Numpydoc-style docstring inheritance for model classes
+    (reference: ``utils.py:434-592``).
+
+    Parameters documented on the base class ``__init__`` but not on the
+    subclass are merged into the subclass docstring, restricted to parameters
+    the subclass ``__init__`` actually accepts.
+    """
+    if subclass_doc is None or base_class.__init__.__doc__ is None:
+        return subclass_doc
+
+    try:
+        sig_params = set(inspect.signature(init).parameters) - {'self', 'kwargs', 'args'}
+    except (TypeError, ValueError):
+        return subclass_doc
+
+    base_params = _parse_numpydoc_parameters(base_class.__init__.__doc__)
+    sub_params = _parse_numpydoc_parameters(subclass_doc)
+    missing = {
+        name: text for name, text in base_params.items()
+        if name in sig_params and name not in sub_params
+    }
+    if not missing:
+        return subclass_doc
+
+    addition = '\n'.join(text for text in missing.values())
+    if 'Parameters' in subclass_doc:
+        return subclass_doc.rstrip() + '\n' + addition + '\n'
+    header = '\n    Parameters\n    ----------\n'
+    return subclass_doc.rstrip() + header + addition + '\n'
+
+
+def _parse_numpydoc_parameters(doc: str) -> Dict[str, str]:
+    """Extract ``name: -> full text block`` entries from a numpydoc Parameters section."""
+    lines = doc.split('\n')
+    params: Dict[str, str] = {}
+    in_section = False
+    current_name = None
+    current_lines = []
+    for idx, line in enumerate(lines):
+        stripped = line.strip()
+        if stripped == 'Parameters':
+            in_section = True
+            continue
+        if in_section and set(stripped) == {'-'} and stripped:
+            continue
+        if in_section:
+            if stripped and not line.startswith((' ' * 8,)) and (':' in stripped or stripped.isidentifier()):
+                if current_name is not None:
+                    params[current_name] = '\n'.join(current_lines)
+                current_name = stripped.split(':')[0].strip()
+                current_lines = [line]
+            elif stripped == '' and idx + 1 < len(lines) and lines[idx + 1].strip() and \
+                    not lines[idx + 1].startswith(' '):
+                break  # end of section
+            elif current_name is not None:
+                current_lines.append(line)
+    if current_name is not None:
+        params[current_name] = '\n'.join(current_lines)
+    return params

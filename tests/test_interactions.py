@@ -1,0 +1,194 @@
+"""Data-layer behavioral tests, mirroring the reference's guarantees
+(``/root/reference/tests/test_interactions.py``): exact negatives never collide
+with a user's positives, approximate sampling skips membership machinery,
+validation and dedup semantics, loader batch equivalence.
+"""
+import numpy as np
+import pytest
+
+from collie_tpu.data import (ApproximateNegativeSamplingInteractionsDataLoader,
+                             ExplicitInteractions,
+                             Interactions,
+                             InteractionsDataLoader,
+                             NegativeSampler)
+
+USERS = [0, 0, 0, 1, 1, 1, 2, 2]
+ITEMS = [0, 1, 2, 1, 2, 3, 0, 2]
+RATINGS = [1, 2, 3, 4, 5, 4, 3, 2]
+
+
+@pytest.fixture()
+def interactions():
+    return Interactions(users=USERS, items=ITEMS, ratings=RATINGS,
+                        num_negative_samples=1, seed=42,
+                        check_num_negative_samples_is_valid=False)
+
+
+def test_basic_properties(interactions):
+    assert interactions.num_users == 3
+    assert interactions.num_items == 4
+    assert interactions.num_interactions == 8
+    assert len(interactions) == 8
+
+
+def test_zero_ratings_filtered_with_warning():
+    with pytest.warns(UserWarning, match='Filtering these rows out'):
+        inter = Interactions(users=[0, 0, 1, 1, 2, 2], items=[0, 1, 1, 2, 0, 2],
+                             ratings=[1, 0, 1, 1, 1, 1],
+                             check_num_negative_samples_is_valid=False)
+    assert inter.num_interactions == 5
+
+
+def test_missing_ids_raise_without_flag():
+    with pytest.raises(ValueError, match='must contain every integer'):
+        Interactions(users=[0, 2], items=[0, 1], ratings=[1, 1],
+                     check_num_negative_samples_is_valid=False)
+
+
+def test_missing_ids_allowed_with_flag():
+    inter = Interactions(users=[0, 2], items=[0, 1], ratings=[1, 1],
+                         allow_missing_ids=True,
+                         check_num_negative_samples_is_valid=False)
+    assert inter.num_users == 3
+
+
+def test_duplicate_pairs_removed_keeping_last():
+    inter = ExplicitInteractions(users=[0, 0, 1, 0], items=[0, 1, 0, 0],
+                                 ratings=[1, 2, 3, 5])
+    assert inter.num_interactions == 3
+    dense = inter.toarray()
+    assert dense[0, 0] == 5  # later value wins, same as the reference's DOK overwrite
+
+
+def test_num_negative_samples_validation():
+    with pytest.raises(AssertionError, match='num_negative_samples'):
+        Interactions(users=USERS, items=ITEMS, ratings=RATINGS,
+                     num_negative_samples=3,
+                     check_num_negative_samples_is_valid=True)
+
+
+def test_exact_negative_samples_never_positive():
+    inter = Interactions(users=USERS, items=ITEMS, ratings=RATINGS,
+                         num_negative_samples=1, seed=7,
+                         check_num_negative_samples_is_valid=False)
+    sampler = NegativeSampler(inter)
+    rng = np.random.default_rng(0)
+    users = np.array(USERS)
+    for _ in range(50):
+        negs = sampler.sample(users, rng)
+        assert not inter.contains_pairs(
+            np.broadcast_to(users[:, None], negs.shape), negs).any()
+
+
+def test_exact_negative_samples_no_duplicates_within_row():
+    rng_data = np.random.default_rng(0)
+    users = np.repeat(np.arange(50), 4)
+    items = np.concatenate([rng_data.choice(100, 4, replace=False) for _ in range(50)])
+    inter = Interactions(users=users, items=items, allow_missing_ids=True,
+                         num_users=50, num_items=100,
+                         num_negative_samples=10, seed=3,
+                         check_num_negative_samples_is_valid=False)
+    sampler = NegativeSampler(inter)
+    rng = np.random.default_rng(1)
+    negs = sampler.sample(users[:50], rng)
+    for row in negs:
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_approximate_mode_has_no_guarantees_but_right_shape():
+    inter = Interactions(users=USERS, items=ITEMS, ratings=RATINGS,
+                         num_negative_samples=2, seed=7,
+                         max_number_of_samples_to_consider=0,
+                         check_num_negative_samples_is_valid=False)
+    assert not inter.exact_negative_sampling
+    sampler = NegativeSampler(inter)
+    negs = sampler.sample(np.array(USERS), np.random.default_rng(0))
+    assert negs.shape == (8, 2)
+    assert ((negs >= 0) & (negs < 4)).all()
+
+
+def test_getitem_shapes(interactions):
+    (user, item), negs = interactions[0]
+    assert np.isscalar(user) or user.ndim == 0
+    assert negs.shape == (1,)
+    (users, items), negs = interactions[np.array([0, 1, 2])]
+    assert users.shape == (3,)
+    assert negs.shape == (3, 1)
+
+
+def test_explicit_getitem():
+    inter = ExplicitInteractions(users=USERS, items=ITEMS, ratings=RATINGS)
+    users, items, ratings = inter[np.arange(8)]
+    assert set(ratings.tolist()) <= set(RATINGS)
+
+
+def test_dataloader_batches_cover_all_interactions(interactions):
+    loader = InteractionsDataLoader(interactions=interactions, batch_size=3, shuffle=False)
+    seen = []
+    for batch in loader:
+        valid = batch['mask'].astype(bool)
+        assert batch['users'].shape == (3,)
+        assert batch['neg_items'].shape == (3, 1)
+        seen.extend(zip(batch['users'][valid].tolist(), batch['pos_items'][valid].tolist()))
+    assert sorted(seen) == sorted(zip(USERS, ITEMS))
+
+
+def test_dataloader_shuffle_is_deterministic_per_seed(interactions):
+    loader_a = InteractionsDataLoader(interactions=interactions, batch_size=4,
+                                      shuffle=True, seed=11)
+    loader_b = InteractionsDataLoader(interactions=interactions, batch_size=4,
+                                      shuffle=True, seed=11)
+    batches_a = list(loader_a)
+    batches_b = list(loader_b)
+    for a, b in zip(batches_a, batches_b):
+        np.testing.assert_array_equal(a['users'], b['users'])
+        np.testing.assert_array_equal(a['neg_items'], b['neg_items'])
+
+
+def test_dataloader_reshuffles_across_epochs(interactions):
+    loader = InteractionsDataLoader(interactions=interactions, batch_size=8,
+                                    shuffle=True, seed=11)
+    first = next(iter(loader))
+    second = next(iter(loader))
+    assert not np.array_equal(first['users'], second['users']) or \
+        not np.array_equal(first['pos_items'], second['pos_items'])
+
+
+def test_approximate_loader_forces_approximate_sampling(interactions):
+    loader = ApproximateNegativeSamplingInteractionsDataLoader(
+        interactions=interactions, batch_size=4)
+    assert loader.approximate_negative_sampling
+    assert not loader.interactions.exact_negative_sampling
+
+
+def test_approximate_loader_rejects_explicit():
+    explicit = ExplicitInteractions(users=USERS, items=ITEMS, ratings=RATINGS)
+    with pytest.raises(ValueError, match='does not support'):
+        ApproximateNegativeSamplingInteractionsDataLoader(interactions=explicit)
+
+
+def test_explicit_loader_batches():
+    explicit = ExplicitInteractions(users=USERS, items=ITEMS, ratings=RATINGS)
+    loader = InteractionsDataLoader(interactions=explicit, batch_size=5)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert 'ratings' in batches[0]
+    total_valid = sum(int(b['mask'].sum()) for b in batches)
+    assert total_valid == 8
+
+
+def test_loader_proxies_dataset_attributes(interactions):
+    loader = InteractionsDataLoader(interactions=interactions, batch_size=4)
+    assert loader.num_users == 3
+    assert loader.num_items == 4
+    assert loader.num_negative_samples == 1
+    assert loader.num_interactions == 8
+    assert loader.mat is interactions.mat
+
+
+def test_loader_kwarg_splitting_constructor():
+    loader = InteractionsDataLoader(users=USERS, items=ITEMS, ratings=RATINGS,
+                                    num_negative_samples=1, seed=1,
+                                    check_num_negative_samples_is_valid=False,
+                                    batch_size=4)
+    assert loader.num_interactions == 8

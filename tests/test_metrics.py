@@ -1,0 +1,116 @@
+"""Metric parity with the reference's deterministic toy problem.
+
+Expected values are the hand-computed constants from
+``/root/reference/tests/fixtures/metrics_fixtures.py:68-75``
+(``mapk=0.7685185, mrr=0.8333333, auc=0.5277777``) over its 3-user x 4-item
+fixture, exercised through both the jit'd ``*_from_scores`` kernels and the
+csr-signature host wrappers (``tests/test_metrics.py:101-155`` in the
+reference).
+"""
+import numpy as np
+import pytest
+from numpy.testing import assert_almost_equal
+
+from collie_tpu.data import Interactions
+from collie_tpu.ops import (auc, auc_from_scores, mapk, mapk_from_scores,
+                            mrr, mrr_from_scores)
+
+
+@pytest.fixture()
+def implicit_interactions():
+    return Interactions(
+        users=[0, 0, 0, 1, 1, 1, 2, 2],
+        items=[0, 1, 2, 1, 2, 3, 0, 2],
+        ratings=[1, 1, 1, 1, 1, 1, 1, 1],
+        check_num_negative_samples_is_valid=False,
+    )
+
+
+@pytest.fixture()
+def implicit_predicted_scores():
+    return np.array([
+        [0.9, 0.4, 0.5, 0.7],
+        [0.1, 1.2, 1.7, 0.12],
+        [-1, -2, -3, 4],
+    ], dtype=np.float32)
+
+
+@pytest.fixture()
+def targets(implicit_interactions):
+    return implicit_interactions.mat.tocsr()
+
+
+USER_IDS = np.array([0, 1, 2])
+
+
+def test_mapk(targets, implicit_predicted_scores):
+    score = mapk(targets, USER_IDS, implicit_predicted_scores, k=4)
+    assert_almost_equal(score, 0.7685185, decimal=5)
+
+
+def test_mapk_k_too_large_raises(targets, implicit_predicted_scores):
+    with pytest.raises(ValueError):
+        mapk(targets, USER_IDS, implicit_predicted_scores, k=5)
+
+
+def test_mrr(targets, implicit_predicted_scores):
+    score = mrr(targets, USER_IDS, implicit_predicted_scores)
+    assert_almost_equal(score, 0.8333333, decimal=5)
+
+
+def test_auc(targets, implicit_predicted_scores):
+    score = auc(targets, USER_IDS, implicit_predicted_scores)
+    assert_almost_equal(score, 0.5277777, decimal=5)
+
+
+def test_from_scores_kernels_match_wrappers(targets, implicit_predicted_scores):
+    relevance = (targets[USER_IDS].toarray() > 0).astype(np.float32)
+    assert_almost_equal(
+        float(mapk_from_scores(implicit_predicted_scores, relevance, 4).mean()),
+        0.7685185, decimal=5)
+    assert_almost_equal(
+        float(mrr_from_scores(implicit_predicted_scores, relevance).mean()),
+        0.8333333, decimal=5)
+    assert_almost_equal(
+        float(auc_from_scores(implicit_predicted_scores, relevance).mean()),
+        0.5277777, decimal=5)
+
+
+def test_mapk_user_with_no_positives_contributes_zero():
+    scores = np.array([[0.5, 0.2, 0.1, 0.9]], dtype=np.float32)
+    relevance = np.zeros((1, 4), dtype=np.float32)
+    assert float(mapk_from_scores(scores, relevance, 4).mean()) == 0.0
+
+
+def test_mrr_user_with_no_positives_contributes_zero():
+    scores = np.array([[0.5, 0.2, 0.1, 0.9]], dtype=np.float32)
+    relevance = np.zeros((1, 4), dtype=np.float32)
+    assert float(mrr_from_scores(scores, relevance).mean()) == 0.0
+
+
+def test_auc_degenerate_user_is_half():
+    scores = np.array([[0.5, 0.2, 0.1, 0.9]], dtype=np.float32)
+    assert float(auc_from_scores(scores, np.zeros((1, 4), np.float32)).mean()) == 0.5
+    assert float(auc_from_scores(scores, np.ones((1, 4), np.float32)).mean()) == 0.5
+
+
+def test_auc_perfect_ranking_is_one():
+    scores = np.array([[4.0, 3.0, 2.0, 1.0]], dtype=np.float32)
+    relevance = np.array([[1, 1, 0, 0]], dtype=np.float32)
+    assert float(auc_from_scores(scores, relevance).mean()) == 1.0
+
+
+def test_auc_matches_sklearn_on_random_problems(rng):
+    from sklearn.metrics import roc_auc_score
+
+    for _ in range(5):
+        scores = rng.standard_normal((7, 50)).astype(np.float32)
+        relevance = (rng.random((7, 50)) < 0.3).astype(np.float32)
+        # ensure non-degenerate rows
+        relevance[:, 0] = 1.0
+        relevance[:, 1] = 0.0
+        ours = np.asarray(auc_from_scores(scores, relevance))
+        theirs = np.array([
+            roc_auc_score(relevance[i], scores[i]) for i in range(len(scores))
+        ])
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5)
