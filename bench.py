@@ -1,0 +1,141 @@
+"""Benchmark: MF training throughput + ranking quality vs a torch reference-equivalent.
+
+Trains the flagship ``MatrixFactorizationModel`` on a synthetic ML-100K-scale
+implicit dataset (943 users x 1682 items; ML-100K itself requires network
+download, unavailable here — see ``collie_tpu/data/synthetic.py``) with the
+reference's quality-gate config (dim 10, lr 0.1, adaptive hinge, 10 epochs;
+``/root/reference/tests/fixtures/model_fixtures.py:24-40``), measures
+steady-state training examples/sec on the jax backend, and compares against a
+faithful torch CPU re-implementation of the reference's fast path
+(``CollieMinimalTrainer`` + approximate-sampling loader semantics,
+``/root/reference/collie/model/base/trainer.py:445-485``).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_data(seed=42):
+    from collie_tpu.data import stratified_split
+    from collie_tpu.data.synthetic import generate_implicit_interactions
+
+    inter = generate_implicit_interactions(num_users=943, num_items=1682,
+                                           num_interactions=100_000,
+                                           num_negative_samples=10, seed=seed)
+    return stratified_split(inter, test_p=0.2, seed=seed, force_split=True)
+
+
+def bench_collie_tpu(train, test, epochs=10, batch_size=1024):
+    from collie_tpu.evaluate import evaluate_in_batches
+    from collie_tpu.data import InteractionsDataLoader
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+    from collie_tpu.ops import auc, mapk, mrr
+    from collie_tpu.training.trainer import CollieTrainer
+
+    loader = InteractionsDataLoader(interactions=train, batch_size=batch_size,
+                                    shuffle=True, seed=42)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=10, lr=1e-1,
+                                     loss='adaptive', seed=42)
+    # epoch 1 includes jit compile; time epochs 2..N for steady state
+    trainer = CollieTrainer(model, max_epochs=1, verbosity=0, seed=42)
+    trainer.fit(model)
+    t0 = time.perf_counter()
+    trainer.max_epochs = epochs
+    trainer.fit(model)
+    steady_secs = time.perf_counter() - t0
+    examples = len(train) * (epochs - 1)
+    examples_per_sec = examples / steady_secs
+
+    t0 = time.perf_counter()
+    mapk_score, mrr_score, auc_score = evaluate_in_batches(
+        [mapk, mrr, auc], test, model, k=10, batch_size=256, verbose=False)
+    eval_secs = time.perf_counter() - t0
+    eval_items_per_sec = (len(np.unique(test.mat.row)) * test.num_items) / eval_secs
+
+    return {
+        'examples_per_sec': examples_per_sec,
+        'map10': mapk_score,
+        'mrr': mrr_score,
+        'auc': auc_score,
+        'eval_items_per_sec': eval_items_per_sec,
+    }
+
+
+def bench_torch_reference_equivalent(train, epochs=1, batch_size=1024):
+    """Reference-equivalent hot loop in torch (CPU): same arch (MF dim 10,
+    separate SGD bias optimizer), same adaptive-hinge loss math, same
+    approximate-sampling batch semantics — the reference's own fast path."""
+    import torch
+
+    num_users, num_items = train.num_users, train.num_items
+    dim, K = 10, train.num_negative_samples
+    torch.manual_seed(42)
+    user_emb = torch.nn.Embedding(num_users, dim)
+    item_emb = torch.nn.Embedding(num_items, dim)
+    user_emb.weight.data.normal_(0, 1.0 / (dim * 2.5))
+    item_emb.weight.data.normal_(0, 1.0 / (dim * 2.5))
+    user_bias = torch.nn.Embedding(num_users, 1)
+    item_bias = torch.nn.Embedding(num_items, 1)
+    user_bias.weight.data.zero_()
+    item_bias.weight.data.zero_()
+
+    opt = torch.optim.Adam(list(user_emb.parameters()) + list(item_emb.parameters()), lr=1e-1)
+    bias_opt = torch.optim.SGD(list(user_bias.parameters()) + list(item_bias.parameters()),
+                               lr=1e-2)
+
+    def forward(u, i):
+        return (user_emb(u) * item_emb(i)).sum(-1) + user_bias(u)[:, 0] + item_bias(i)[:, 0]
+
+    rows = torch.from_numpy(train.mat.row.astype(np.int64))
+    cols = torch.from_numpy(train.mat.col.astype(np.int64))
+    n = len(rows)
+    rng = np.random.default_rng(42)
+
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        perm = torch.from_numpy(rng.permutation(n))
+        for start in range(0, n, batch_size):
+            idx = perm[start:start + batch_size]
+            users, pos = rows[idx], cols[idx]
+            negs = torch.from_numpy(
+                rng.integers(0, num_items, size=(K, len(idx))))
+            pos_scores = forward(users, pos)
+            neg_scores = forward(users.repeat(K), negs.flatten()).view(K, len(idx))
+            highest, _ = neg_scores.max(0)
+            loss_el = torch.clamp(1.0 - (pos_scores - highest), min=0)
+            loss = (loss_el.sum() + loss_el.pow(2).sum()) / len(idx)
+            opt.zero_grad()
+            bias_opt.zero_grad()
+            loss.backward()
+            opt.step()
+            bias_opt.step()
+    secs = time.perf_counter() - t0
+    return n * epochs / secs
+
+
+def main():
+    train, test = build_data()
+    ours = bench_collie_tpu(train, test)
+    baseline_eps = bench_torch_reference_equivalent(train)
+
+    result = {
+        'metric': 'mf_train_examples_per_sec',
+        'value': round(ours['examples_per_sec'], 1),
+        'unit': 'examples/sec',
+        'vs_baseline': round(ours['examples_per_sec'] / baseline_eps, 3),
+        'baseline_torch_cpu_examples_per_sec': round(baseline_eps, 1),
+        'map10': round(ours['map10'], 5),
+        'mrr': round(ours['mrr'], 5),
+        'auc': round(ours['auc'], 5),
+        'eval_items_per_sec': round(ours['eval_items_per_sec'], 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    sys.exit(main())

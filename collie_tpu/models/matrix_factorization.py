@@ -1,0 +1,128 @@
+"""Matrix factorization — the flagship model.
+
+Rebuild of ``MatrixFactorizationModel``
+(``/root/reference/collie/model/matrix_factorization.py:12-167``):
+``score = dot(user_emb, item_emb) + user_bias + item_bias`` with dropout on
+the embeddings (not the biases) and an optional ``y_range`` sigmoid rescale
+(``:120-159``).  Keeps collie's signature twist — a separate, slower SGD
+optimizer for the bias terms (defaults ``bias_lr=1e-2``,
+``bias_optimizer='sgd'``, ``:80-88``) so the model cannot shortcut to
+popularity memorization — and the default ``ReduceLROnPlateau(patience=1)``
+schedule (``:81-85``).
+
+TPU notes: ``sparse=True`` is accepted for parity but maps to dense tables
+(row-shardable over the mesh's ``model`` axis; SURVEY §7); full-catalog
+scoring overrides the pairwise path with one embeddings x table matmul on the
+MXU.
+"""
+from typing import Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from collie_tpu.models.base import INTERACTIONS_LIKE_INPUT, BasePipeline
+from collie_tpu.ops.embeddings import dropout, embedding_lookup, scaled_embedding_init, \
+    zero_embedding_init
+from collie_tpu.training.schedulers import ReduceLROnPlateau
+from collie_tpu.utils import get_init_arguments, merge_docstrings
+
+
+def _default_scheduler():
+    return ReduceLROnPlateau(patience=1)
+
+
+class MatrixFactorizationModel(BasePipeline):
+    """Embedding-dot-product recommender with separate bias optimizer.
+
+    Parameters
+    ----------
+    embedding_dim: int
+        Number of latent factors to use for user and item embeddings
+    dropout_p: float
+        Probability of dropout on the embeddings
+    sparse: bool
+        Accepted for API parity; on TPU embeddings are dense (sharded) tables
+    bias_lr: float or 'infer'
+        Bias terms learning rate. If 'infer', set equal to ``lr``
+    bias_optimizer: str or None
+        Optimizer for the bias terms ('infer' copies ``optimizer``; None
+        merges biases into the single optimizer)
+    y_range: tuple
+        ``(min, max)`` applies a sigmoid rescale of the output score
+    """
+
+    def __init__(self,
+                 train: INTERACTIONS_LIKE_INPUT = None,
+                 val: INTERACTIONS_LIKE_INPUT = None,
+                 embedding_dim: int = 30,
+                 dropout_p: float = 0.0,
+                 sparse: bool = False,
+                 lr: float = 1e-3,
+                 bias_lr: Optional[Union[float, str]] = 1e-2,
+                 lr_scheduler_func: Optional[Callable] = _default_scheduler,
+                 weight_decay: float = 0.0,
+                 optimizer: Union[str, Callable] = 'adam',
+                 bias_optimizer: Optional[Union[str, Callable]] = 'sgd',
+                 loss: Union[str, Callable] = 'hinge',
+                 metadata_for_loss: Optional[Dict] = None,
+                 metadata_for_loss_weights: Optional[Dict[str, float]] = None,
+                 y_range: Optional[Tuple[float, float]] = None,
+                 load_model_path: Optional[str] = None,
+                 map_location: Optional[str] = None,
+                 **kwargs):
+        super().__init__(**get_init_arguments())
+
+    __doc__ = merge_docstrings(BasePipeline, __doc__, __init__)
+
+    def _build_params(self, rng: jax.Array) -> Dict[str, jnp.ndarray]:
+        num_users = self.hparams['num_users']
+        num_items = self.hparams['num_items']
+        dim = self.hparams['embedding_dim']
+        rng_user, rng_item = jax.random.split(rng)
+        return {
+            'user_embeddings': scaled_embedding_init(rng_user, num_users, dim),
+            'item_embeddings': scaled_embedding_init(rng_item, num_items, dim),
+            'user_biases': zero_embedding_init(num_users),
+            'item_biases': zero_embedding_init(num_items),
+        }
+
+    def score(self, params, users, items, training=False, rng=None):
+        user_embeddings = embedding_lookup(params['user_embeddings'], users)
+        item_embeddings = embedding_lookup(params['item_embeddings'], items)
+
+        p = self.hparams.get('dropout_p', 0.0)
+        rng_u, rng_i = (jax.random.split(rng) if rng is not None else (None, None))
+        user_embeddings = dropout(rng_u, user_embeddings, p, training)
+        item_embeddings = dropout(rng_i, item_embeddings, p, training)
+
+        preds = (
+            (user_embeddings * item_embeddings).sum(axis=1)
+            + params['user_biases'][users]
+            + params['item_biases'][items]
+        )
+        return self._apply_y_range(preds)
+
+    def _apply_y_range(self, preds):
+        y_range = self.hparams.get('y_range')
+        if y_range is not None:
+            preds = jax.nn.sigmoid(preds) * (y_range[1] - y_range[0]) + y_range[0]
+        return preds
+
+    def score_all_items(self, params, user_ids):
+        """Full-catalog scoring as one MXU matmul:
+        ``[B, d] x [d, num_items] + biases`` — the TPU-native form of the
+        reference's B x num_items cross-product forward (``metrics.py:77-107``)."""
+        user_emb = embedding_lookup(params['user_embeddings'], user_ids)
+        preds = (
+            jnp.matmul(user_emb, params['item_embeddings'].T,
+                       precision=jax.lax.Precision.HIGHEST)
+            + params['user_biases'][user_ids][:, None]
+            + params['item_biases'][None, :]
+        )
+        return self._apply_y_range(preds)
+
+    def _get_item_embeddings(self) -> jnp.ndarray:
+        return self.params['item_embeddings']
+
+    def _get_user_embeddings(self) -> jnp.ndarray:
+        return self.params['user_embeddings']

@@ -1,0 +1,12 @@
+"""Mesh construction and sharding rules for multi-chip execution."""
+from collie_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+from collie_tpu.parallel.sharding import (init_sharded_opt_states,
+                                          param_shardings,
+                                          param_spec,
+                                          shard_batch_fn,
+                                          shard_params)
+
+__all__ = [
+    'DATA_AXIS', 'MODEL_AXIS', 'init_sharded_opt_states', 'make_mesh',
+    'param_shardings', 'param_spec', 'shard_batch_fn', 'shard_params',
+]

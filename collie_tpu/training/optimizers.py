@@ -1,0 +1,112 @@
+"""Optimizer construction on optax.
+
+Rebuild of the reference's optimizer machinery
+(``/root/reference/collie/model/base/base_pipeline.py:342-479`` and
+``layers.py:20-63``): string-resolved optimizers ('sgd' / 'adagrad' / 'adam' /
+'sparse_adam'), torch-style coupled weight decay (L2 added to the gradient
+before moment updates, matching ``torch.optim.Adam(weight_decay=...)``), and
+the dual-optimizer scheme where parameters whose name contains ``'bias'`` get
+their own optimizer and learning rate.
+
+Instead of torch optimizer objects + the reference's ``MultiOptimizer``
+wrapper, each optimizer is an ``OptimizerSpec``: an optax transform plus the
+static list of flat-param names it owns (and, for multi-stage models, the
+stage it is active in).  The train step applies each active spec to its
+parameter subset only, so inactive specs' moments stay frozen — the same
+semantics as the reference's stage-gated ``optimizer_step``
+(``multi_stage_pipeline.py:226-257``).
+
+Learning rates are injected hyperparameters (part of the optimizer state), so
+the host-side ``ReduceLROnPlateau`` scheduler can rescale them between epochs
+without recompiling or resetting moments.
+"""
+import dataclasses
+from typing import Any, Callable, List, Optional, Sequence, Union
+
+import optax
+
+
+@dataclasses.dataclass
+class OptimizerSpec:
+    """One optimizer over a static subset of flat-dict params."""
+    name: str
+    transform: optax.GradientTransformation
+    keys: List[str]          # flat param names this optimizer owns
+    stage: Optional[str] = None  # None -> active in every stage
+
+
+def _scaler_for(optimizer: str) -> optax.GradientTransformation:
+    if optimizer == 'sgd':
+        return optax.identity()
+    if optimizer == 'adagrad':
+        return optax.scale_by_rss(initial_accumulator_value=0.0)
+    if optimizer in ('adam', 'sparse_adam'):
+        # the reference's 'sparse_adam' is a GPU memory optimization over
+        # ``sparse=True`` embeddings; on TPU tables are dense and (optionally)
+        # row-sharded, so it maps to plain adam (SURVEY §7 "sparse-embedding story")
+        return optax.scale_by_adam()
+    raise ValueError(f'{optimizer} is not a valid optimizer!')
+
+
+def build_transform(optimizer: Union[str, Callable[..., Any]],
+                    lr: float,
+                    weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """Build a single optax transform with torch-coupled weight decay and an
+    injected (state-resident, host-mutable) learning rate."""
+    if callable(optimizer) and not isinstance(optimizer, str):
+        # custom factory: expected to return an optax.GradientTransformation
+        # when called with (learning_rate=..., weight_decay=...)
+        try:
+            return optimizer(learning_rate=lr, weight_decay=weight_decay)
+        except TypeError:
+            return optimizer(learning_rate=lr)
+
+    if optimizer == 'sparse_adam' and weight_decay != 0.0:
+        # torch.optim.SparseAdam does not support weight decay
+        # (reference ``base_pipeline.py:430-433`` passes no weight_decay)
+        weight_decay = 0.0
+
+    scaler = _scaler_for(optimizer)
+
+    @optax.inject_hyperparams
+    def _make(learning_rate):
+        parts = []
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(scaler)
+        parts.append(optax.scale_by_learning_rate(learning_rate))
+        return optax.chain(*parts)
+
+    return _make(learning_rate=lr)
+
+
+def get_lr(opt_state) -> float:
+    """Read the injected learning rate out of a transform built by
+    ``build_transform``."""
+    return float(_find_hyperparams(opt_state)['learning_rate'])
+
+
+def set_lr(opt_state, new_lr: float):
+    """Return ``opt_state`` with the injected learning rate replaced."""
+    hp = _find_hyperparams(opt_state)
+    hp_new = dict(hp)
+    import jax.numpy as jnp
+    hp_new['learning_rate'] = jnp.asarray(new_lr, dtype=jnp.asarray(hp['learning_rate']).dtype)
+    return opt_state._replace(hyperparams=hp_new)
+
+
+def _find_hyperparams(opt_state):
+    if hasattr(opt_state, 'hyperparams'):
+        return opt_state.hyperparams
+    raise ValueError(
+        'Optimizer state carries no injected hyperparams; learning-rate scheduling '
+        'requires transforms built by ``build_transform``.'
+    )
+
+
+def split_bias_keys(param_keys: Sequence[str]) -> (list, list):
+    """The reference's name-based split: params whose name contains 'bias'
+    (``base_pipeline.py:460-479``)."""
+    bias = [k for k in param_keys if 'bias' in k]
+    rest = [k for k in param_keys if 'bias' not in k]
+    return bias, rest

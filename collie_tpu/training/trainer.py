@@ -1,0 +1,234 @@
+"""Training engines: jit-compiled epoch loop with multi-optimizer support.
+
+Rebuild of ``/root/reference/collie/model/base/trainer.py`` (``CollieTrainer``
+at ``:22``, ``CollieMinimalTrainer`` at ``:114``).  The reference offers a
+PyTorch-Lightning wrapper and a hand-rolled loop that is ~25% faster
+(``trainer.py:120-123``); here there is one engine: the whole
+forward + loss + backward + every optimizer update is a single jitted XLA
+program with donated buffers, and the host only feeds numpy batches and reads
+one scalar loss per step.  ``CollieTrainer`` and ``CollieMinimalTrainer`` are
+the same engine (both names kept for API parity).
+
+Feature parity with the reference engines:
+
+* epoch-numbering resume across repeated ``fit`` calls via
+  ``hparams['num_epochs_completed']`` (``trainer.py:338,375-376``);
+* early stopping on best epoch loss with patience (``trainer.py:379-390``);
+* lr-scheduler stepping incl. ``ReduceLROnPlateau`` semantics monitoring
+  ``val_loss_epoch`` / ``train_loss_epoch`` (``trainer.py:392-399``,
+  ``base_pipeline.py:375-399``);
+* stage-gated optimizer stepping for multi-stage models
+  (``multi_stage_pipeline.py:226-257``): only specs whose ``stage`` matches
+  the model's current stage are applied, and inactive specs' moments are
+  untouched;
+* loggers: any object with ``log_metrics(metrics: dict, step: int)`` receives
+  step/epoch train + val losses with ``log_every_n_steps`` cadence
+  (``trainer.py:534-541``);
+* ``max_epochs`` is a plain mutable attribute, usable for the reference's
+  multi-stage ``trainer.max_epochs += n`` idiom (``trainer.py:83-111``);
+* ``terminate_on_nan`` mirrors ``detect_anomaly`` (``trainer.py:333-334``).
+
+Distribution: pass ``mesh=...`` (a ``jax.sharding.Mesh`` from
+``collie_tpu.parallel``) to shard the batch over the ``data`` axis and the
+embedding tables / optimizer moments over the ``model`` axis; XLA GSPMD
+inserts the ICI collectives.
+"""
+import time
+import warnings
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from collie_tpu.training.optimizers import get_lr, set_lr
+from collie_tpu.training.schedulers import resolve_scheduler
+
+
+class CollieTrainer:
+    """Training engine driving a ``BasePipeline`` model."""
+
+    def __init__(self,
+                 model=None,
+                 max_epochs: int = 10,
+                 benchmark: bool = True,     # API parity; XLA always "benchmarks"
+                 deterministic: bool = True,
+                 gpus: Optional[int] = None,  # API parity; devices come from jax
+                 logger: Optional[Any] = None,
+                 early_stopping_patience: Optional[int] = None,
+                 log_every_n_steps: int = 50,
+                 terminate_on_nan: bool = False,
+                 verbosity: int = 1,
+                 mesh: Optional[Any] = None,
+                 seed: Optional[int] = None):
+        if model is not None and getattr(model, 'val_loader', None) is None and verbosity > 0:
+            # reference auto-disables the sanity val check when no val data
+            # (``trainer.py:66-69``); here there is simply no val loop
+            pass
+        self.max_epochs = max_epochs
+        self.benchmark = benchmark
+        self.deterministic = deterministic
+        self.logger = logger
+        self.early_stopping_patience = early_stopping_patience
+        self.log_every_n_steps = log_every_n_steps
+        self.terminate_on_nan = terminate_on_nan
+        self.verbosity = verbosity
+        self.mesh = mesh
+        self.seed = seed if seed is not None else 0
+        self.global_step = 0
+        self.best_epoch_loss: Tuple[int, float] = (-1, float('inf'))
+        self.num_epochs_completed = 0
+        # throughput accounting for benchmarks
+        self.last_fit_examples_per_sec: Optional[float] = None
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(self, model) -> None:
+        specs = model.optimizer_specs()
+        stage = model.current_stage
+        active = [spec.stage is None or spec.stage == stage for spec in specs]
+
+        params = dict(model.params)
+
+        train_step, val_step = self._build_steps(model, specs, active)
+        shard_batch = lambda b: b  # noqa: E731
+        if self.mesh is not None:
+            from collie_tpu.parallel import (init_sharded_opt_states, shard_batch_fn,
+                                             shard_params)
+            params = shard_params(params, self.mesh)
+            shard_batch = shard_batch_fn(self.mesh)
+            opt_states = init_sharded_opt_states(specs, params)
+        else:
+            opt_states = tuple(
+                jax.jit(spec.transform.init)({k: params[k] for k in spec.keys})
+                for spec in specs
+            )
+
+        base_rng = jax.random.PRNGKey(self.seed)
+
+        schedulers = [resolve_scheduler(model.lr_scheduler_func) for _ in specs]
+        monitor_val = model.val_loader is not None
+        epochs_no_improvement = 0
+
+        start_epoch = model.hparams.get('num_epochs_completed', 0) + 1
+        total_examples = 0
+        fit_start = time.perf_counter()
+
+        for epoch in range(start_epoch, self.max_epochs + 1):
+            epoch_start = time.perf_counter()
+            losses = []
+            for batch in model.train_loader:
+                batch = shard_batch(batch)
+                params, opt_states, loss = train_step(
+                    params, opt_states, batch, base_rng, np.int32(self.global_step))
+                losses.append(loss)
+                total_examples += int(batch['mask'].sum()) if 'mask' in batch \
+                    else len(batch['users'])
+                self.global_step += 1
+                if self.logger is not None and self.global_step % self.log_every_n_steps == 0:
+                    self.logger.log_metrics({'train_loss_step': float(loss)},
+                                            step=self.global_step)
+
+            train_loss = float(jnp.mean(jnp.stack(losses)))
+            if self.terminate_on_nan and not np.isfinite(train_loss):
+                raise FloatingPointError(f'NaN/Inf train loss at epoch {epoch}.')
+
+            val_loss = None
+            if model.val_loader is not None:
+                val_losses = [
+                    val_step(params, shard_batch(batch)) for batch in model.val_loader
+                ]
+                val_loss = float(jnp.mean(jnp.stack(val_losses)))
+
+            model.hparams['num_epochs_completed'] = epoch
+            self.num_epochs_completed = epoch
+
+            monitored = val_loss if monitor_val else train_loss
+            epoch_secs = time.perf_counter() - epoch_start
+            if self.verbosity > 0:
+                msg = f'Epoch {epoch:>3}: train loss {train_loss:.5f}'
+                if val_loss is not None:
+                    msg += f', val loss {val_loss:.5f}'
+                msg += f' ({epoch_secs:.1f}s)'
+                print(msg)
+            if self.logger is not None:
+                metrics = {'train_loss_epoch': train_loss}
+                if val_loss is not None:
+                    metrics['val_loss_epoch'] = val_loss
+                self.logger.log_metrics(metrics, step=epoch)
+
+            # lr schedulers (plateau-style on the monitored loss)
+            new_states = list(opt_states)
+            for i, scheduler in enumerate(schedulers):
+                if scheduler is None:
+                    continue
+                factor = scheduler.step(monitored)
+                if factor is not None:
+                    current = get_lr(new_states[i])
+                    min_lr = getattr(scheduler, 'min_lr', 0.0)
+                    new_states[i] = set_lr(new_states[i], max(current * factor, min_lr))
+                    if self.verbosity > 0:
+                        print(f'  lr[{specs[i].name}] -> {max(current * factor, min_lr):.2e}')
+            opt_states = tuple(new_states)
+
+            # early stopping on best epoch loss (``trainer.py:379-390``)
+            if monitored < self.best_epoch_loss[1]:
+                self.best_epoch_loss = (epoch, monitored)
+                epochs_no_improvement = 0
+            else:
+                epochs_no_improvement += 1
+                if (self.early_stopping_patience is not None
+                        and epochs_no_improvement >= self.early_stopping_patience):
+                    if self.verbosity > 0:
+                        print(f'Early stopping at epoch {epoch} '
+                              f'(best epoch {self.best_epoch_loss[0]}, '
+                              f'loss {self.best_epoch_loss[1]:.5f}).')
+                    break
+
+        fit_secs = time.perf_counter() - fit_start
+        self.last_fit_examples_per_sec = total_examples / fit_secs if fit_secs > 0 else None
+
+        model.params = params
+        model._jit_score_cache = None
+        model._jit_score_all_cache = None
+
+    # ------------------------------------------------------------ step build
+
+    def _build_steps(self, model, specs, active):
+        metadata = model.metadata_for_loss
+        if metadata is not None:
+            model.metadata_for_loss = {k: jnp.asarray(v) for k, v in metadata.items()}
+
+        def loss_fn(params, batch, rng):
+            return model.calculate_loss(params, batch, rng=rng, training=True)
+
+        def train_step(params, opt_states, batch, base_rng, step):
+            rng = jax.random.fold_in(base_rng, step)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            new_states = list(opt_states)
+            for i, spec in enumerate(specs):
+                if not active[i]:
+                    continue
+                sub_params = {k: params[k] for k in spec.keys}
+                sub_grads = {k: grads[k] for k in spec.keys}
+                updates, new_states[i] = spec.transform.update(
+                    sub_grads, opt_states[i], sub_params)
+                params = {**params, **{k: sub_params[k] + updates[k] for k in spec.keys}}
+            return params, tuple(new_states), loss
+
+        def val_step(params, batch):
+            return model.calculate_loss(params, batch, rng=None, training=False)
+
+        donate = (0, 1)
+        jit_kwargs: Dict[str, Any] = {}
+        return (jax.jit(train_step, donate_argnums=donate, **jit_kwargs),
+                jax.jit(val_step, **jit_kwargs))
+
+
+class CollieMinimalTrainer(CollieTrainer):
+    """Alias of ``CollieTrainer`` for API parity.
+
+    The reference ships a separate hand-rolled loop that skips Lightning
+    overhead (``trainer.py:114-547``); here the engine is already the minimal
+    one — a single jitted step — so both names share one implementation.
+    """

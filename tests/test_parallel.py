@@ -1,0 +1,74 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+Validates the mesh/sharding path the driver dry-runs for real hardware:
+row-sharded embedding tables + optimizer moments over ``model``, batch over
+``data``, and numerics matching single-device training.
+"""
+import jax
+import numpy as np
+import pytest
+
+from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+from collie_tpu.parallel import make_mesh, param_shardings, shard_params
+from collie_tpu.training.trainer import CollieTrainer
+
+from tests.fixtures.model_fixtures import implicit_sets, implicit_train  # noqa: F401
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    assert len(jax.devices()) == 8, 'conftest must provide 8 virtual CPU devices'
+    return make_mesh(data=4, model=2)
+
+
+def _make_model(implicit_train, **kwargs):
+    kwargs.setdefault('embedding_dim', 8)
+    kwargs.setdefault('seed', 0)
+    return MatrixFactorizationModel(train=implicit_train, **kwargs)
+
+
+def test_embedding_tables_are_row_sharded(mesh, implicit_train):
+    model = _make_model(implicit_train)
+    shardings = param_shardings(model.params, mesh)
+    # 250 users / 500 items both divide the model axis (2)
+    assert 'model' in str(shardings['user_embeddings'].spec)
+    assert 'model' in str(shardings['item_embeddings'].spec)
+    sharded = shard_params(model.params, mesh)
+    assert not sharded['user_embeddings'].sharding.is_fully_replicated
+
+
+def test_non_divisible_tables_fall_back_to_replication(implicit_train):
+    mesh3 = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+    model = _make_model(implicit_train)  # 250 users not divisible by 4
+    shardings = param_shardings(model.params, mesh3)
+    assert shardings['user_embeddings'].is_fully_replicated
+
+
+def test_sharded_training_runs_and_matches_quality(mesh, implicit_sets):
+    train, test = implicit_sets
+    from collie_tpu.evaluate import evaluate_in_batches
+    from collie_tpu.ops import auc
+
+    model = _make_model(train, lr=1e-1, loss='adaptive')
+    trainer = CollieTrainer(model, max_epochs=3, verbosity=0, mesh=mesh, seed=0)
+    trainer.fit(model)
+    auc_score = evaluate_in_batches([auc], test, model, verbose=False)
+    assert auc_score > 0.52  # learned signal, not noise
+
+
+def test_sharded_matches_single_device_numerics(mesh, implicit_train):
+    """One epoch, identical batches/seed: sharded and unsharded training must
+    agree to float tolerance (GSPMD only changes layout, not math)."""
+    model_a = _make_model(implicit_train, lr=1e-2)
+    trainer_a = CollieTrainer(model_a, max_epochs=1, verbosity=0, seed=0)
+    trainer_a.fit(model_a)
+
+    model_b = _make_model(implicit_train, lr=1e-2)
+    trainer_b = CollieTrainer(model_b, max_epochs=1, verbosity=0, seed=0, mesh=mesh)
+    trainer_b.fit(model_b)
+
+    for key in model_a.params:
+        np.testing.assert_allclose(
+            np.asarray(model_a.params[key]), np.asarray(model_b.params[key]),
+            rtol=1e-4, atol=1e-5,
+            err_msg=f'divergence in {key}')
