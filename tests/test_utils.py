@@ -1,0 +1,185 @@
+"""Host-utility tests mirroring ``/root/reference/tests/test_utils.py``."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from collie_tpu.utils import (Timer, convert_to_implicit, create_ratings_matrix,
+                              df_to_html, df_to_interactions, merge_docstrings,
+                              pandas_df_to_hdf5,
+                              remove_users_with_fewer_than_n_interactions, trunc_normal)
+
+
+@pytest.fixture()
+def df():
+    return pd.DataFrame({
+        'user_id': [0, 0, 0, 1, 1, 1, 2, 2],
+        'item_id': [0, 1, 2, 1, 2, 3, 0, 2],
+        'rating': [1, 2, 3, 4, 5, 4, 3, 2],
+    })
+
+
+def test_create_ratings_matrix_dense(df):
+    mat = create_ratings_matrix(df)
+    assert mat.shape == (3, 4)
+    assert mat[1, 2] == 5
+    assert mat[0, 3] == 0
+
+
+def test_create_ratings_matrix_sparse(df):
+    mat = create_ratings_matrix(df, sparse=True)
+    assert mat.shape == (3, 4)
+    assert mat.tocsr()[1, 2] == 5
+
+
+def test_create_ratings_matrix_requires_zero_based(df):
+    df = df.copy()
+    df['user_id'] += 1
+    with pytest.raises(ValueError, match='must start at 0'):
+        create_ratings_matrix(df)
+
+
+def test_df_to_interactions(df):
+    interactions = df_to_interactions(df, check_num_negative_samples_is_valid=False)
+    assert interactions.num_users == 3
+    assert interactions.num_items == 4
+    no_ratings = df_to_interactions(df, ratings_col=None,
+                                    check_num_negative_samples_is_valid=False)
+    assert (no_ratings.mat.data == 1).all()
+
+
+def test_convert_to_implicit(df):
+    implicit = convert_to_implicit(df)
+    # keeps only ratings >= 4, sets them to 1
+    assert len(implicit) == 3
+    assert (implicit['rating'] == 1).all()
+
+
+def test_convert_to_implicit_dedup_keeps_last():
+    df = pd.DataFrame({'user_id': [0, 0], 'item_id': [1, 1], 'rating': [5, 4]})
+    implicit = convert_to_implicit(df)
+    assert len(implicit) == 1
+
+
+def test_remove_users_with_fewer_than_n_interactions(df):
+    filtered = remove_users_with_fewer_than_n_interactions(df, min_num_of_interactions=3)
+    assert set(filtered['user_id']) == {0, 1}
+
+
+def test_trunc_normal_statistics():
+    sample = trunc_normal((100_000,), std=0.1, seed=0)
+    assert abs(sample.mean()) < 0.01
+    # fmod(2) wraps the tails toward 0, so std shrinks to ~0.88 * requested
+    assert 0.08 < sample.std() < 0.095
+    assert np.abs(sample).max() <= 0.2 + 1e-6  # fmod(2) bounds at 2 sigma
+
+
+def test_pandas_df_to_hdf5_append(tmp_path, df):
+    path = tmp_path / 'data.h5'
+    pandas_df_to_hdf5(df, path)
+    pandas_df_to_hdf5(df, path)  # append doubles the rows
+    import h5py
+    with h5py.File(path, 'r') as f:
+        assert f['interactions']['user_id'].shape[0] == 2 * len(df)
+
+
+def test_df_to_html_images_and_tags():
+    df = pd.DataFrame({'poster': ['a.jpg'], 'title': ['Movie']})
+    html = df_to_html(df, image_cols=['poster'], html_tags={'title': 'strong'},
+                      image_width=300)
+    assert '<img src="a.jpg" width="300">' in html
+    assert '<strong>Movie</strong>' in html
+
+
+def test_timer_reports_minutes(capsys):
+    t = Timer()
+    delta = t.timecheck('step done')
+    assert delta >= 0
+    total = t.time_since_start()
+    assert total >= 0
+    out = capsys.readouterr().out
+    assert 'step done' in out
+
+
+def test_merge_docstrings_inherits_params():
+    class Base:
+        def __init__(self, lr=0.1):
+            """Init.
+
+            Parameters
+            ----------
+            lr: float
+                Learning rate
+            extra: int
+                Not in subclass signature
+            """
+
+    def sub_init(self, lr=0.2):
+        pass
+
+    doc = """Subclass doc.
+
+    Parameters
+    ----------
+    other: str
+        Something
+    """
+    merged = merge_docstrings(Base, doc, sub_init)
+    assert 'lr: float' in merged
+    assert 'extra' not in merged  # not accepted by subclass signature
+
+
+def test_hdf5_interactions_roundtrip(tmp_path, df):
+    from collie_tpu.data import HDF5Interactions, HDF5InteractionsDataLoader, write_hdf5_meta
+
+    path = str(tmp_path / 'inter.h5')
+    pandas_df_to_hdf5(df, path)
+    write_hdf5_meta(path, num_users=3, num_items=4)
+
+    inter = HDF5Interactions(hdf5_path=path, num_negative_samples=2)
+    assert inter.num_users == 3
+    assert inter.num_items == 4
+    assert len(inter) == 8
+
+    (users, items), negs = inter[(0, 5)]
+    assert len(users) == 5
+    assert negs.shape == (5, 2)
+
+    loader = HDF5InteractionsDataLoader(interactions=inter, batch_size=3, shuffle=True)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert sum(int(b['mask'].sum()) for b in batches) == 8
+    with pytest.raises(AttributeError, match='out-of-core'):
+        _ = loader.mat
+
+
+def test_hdf5_infer_dims_without_meta(tmp_path, df):
+    from collie_tpu.data import HDF5Interactions
+
+    path = str(tmp_path / 'inter2.h5')
+    pandas_df_to_hdf5(df, path)
+    inter = HDF5Interactions(hdf5_path=path)
+    assert inter.num_users == 3
+    assert inter.num_items == 4
+
+
+def test_hdf5_training_end_to_end(tmp_path):
+    """An HDF5-backed loader drives a full training run (analog of the
+    reference's HDF5 model-matrix entries)."""
+    from collie_tpu.data import HDF5InteractionsDataLoader, write_hdf5_meta
+    from collie_tpu.data.synthetic import generate_interactions_df
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+    from collie_tpu.training.trainer import CollieTrainer
+
+    df = generate_interactions_df(num_users=100, num_items=200, num_interactions=3000,
+                                  seed=3)
+    path = str(tmp_path / 'train.h5')
+    pandas_df_to_hdf5(df, path)
+    write_hdf5_meta(path, num_users=100, num_items=200)
+
+    loader = HDF5InteractionsDataLoader(hdf5_path=path, batch_size=512, shuffle=True,
+                                        num_negative_samples=5)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, loss='adaptive',
+                                     seed=0)
+    trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=0)
+    trainer.fit(model)
+    assert model.hparams['num_epochs_completed'] == 2
