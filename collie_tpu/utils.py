@@ -257,30 +257,51 @@ def merge_docstrings(base_class: type, subclass_doc: Optional[str], init: Any) -
 
 
 def _parse_numpydoc_parameters(doc: str) -> Dict[str, str]:
-    """Extract ``name: -> full text block`` entries from a numpydoc Parameters section."""
+    """Extract ``name -> full text block`` entries from a numpydoc Parameters
+    section, using indentation relative to the section body (docstrings of
+    classes and methods indent differently)."""
     lines = doc.split('\n')
     params: Dict[str, str] = {}
-    in_section = False
     current_name = None
     current_lines = []
+    param_indent = None
+    in_section = False
+
+    def flush():
+        nonlocal current_name, current_lines
+        if current_name is not None:
+            params[current_name] = '\n'.join(current_lines)
+        current_name = None
+        current_lines = []
+
     for idx, line in enumerate(lines):
         stripped = line.strip()
-        if stripped == 'Parameters':
-            in_section = True
+        if not in_section:
+            if stripped == 'Parameters' and idx + 1 < len(lines) and \
+                    set(lines[idx + 1].strip()) == {'-'}:
+                in_section = True
             continue
-        if in_section and set(stripped) == {'-'} and stripped:
+        if set(stripped) == {'-'} and stripped:
+            if current_name is not None:
+                # new section header reached ("Returns\n-------"): the header
+                # line was absorbed as a description line; drop it and stop
+                if current_lines and current_lines[-1].strip().isidentifier():
+                    current_lines.pop()
+                flush()
+                break
             continue
-        if in_section:
-            if stripped and not line.startswith((' ' * 8,)) and (':' in stripped or stripped.isidentifier()):
-                if current_name is not None:
-                    params[current_name] = '\n'.join(current_lines)
-                current_name = stripped.split(':')[0].strip()
-                current_lines = [line]
-            elif stripped == '' and idx + 1 < len(lines) and lines[idx + 1].strip() and \
-                    not lines[idx + 1].startswith(' '):
-                break  # end of section
-            elif current_name is not None:
-                current_lines.append(line)
-    if current_name is not None:
-        params[current_name] = '\n'.join(current_lines)
+        if not stripped:
+            continue
+        indent = len(line) - len(line.lstrip())
+        if param_indent is None:
+            param_indent = indent
+        if indent < param_indent:
+            break  # dedent below the section body -> section over
+        if indent == param_indent:
+            flush()
+            current_name = stripped.split(':')[0].strip()
+            current_lines = [line]
+        else:
+            current_lines.append(line)
+    flush()
     return params
