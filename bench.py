@@ -51,9 +51,12 @@ def bench_collie_tpu(train, test, epochs=10, batch_size=1024):
     examples = len(train) * (epochs - 1)
     examples_per_sec = examples / steady_secs
 
-    t0 = time.perf_counter()
+    # warm once (compiles the fused whole-eval program), then time steady state
     mapk_score, mrr_score, auc_score = evaluate_in_batches(
         [mapk, mrr, auc], test, model, k=10, batch_size=256, verbose=False)
+    t0 = time.perf_counter()
+    evaluate_in_batches([mapk, mrr, auc], test, model, k=10, batch_size=256,
+                        verbose=False)
     eval_secs = time.perf_counter() - t0
     eval_items_per_sec = (len(np.unique(test.mat.row)) * test.num_items) / eval_secs
 

@@ -8,11 +8,16 @@ followed by jitted metric kernels; the host only slices csr target rows.
 """
 from typing import Any, Callable, Iterable, List, Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from collie_tpu.data import ExplicitInteractions, Interactions, InteractionsDataLoader
+from collie_tpu.ops import metrics as metrics_lib
 from collie_tpu.ops.metrics import _dense_relevance_block
+
+# cap on the dense relevance block a fused whole-eval dispatch may hold in HBM
+_FUSED_EVAL_MAX_ELEMENTS = 512 * 1024 * 1024
 
 
 def get_preds(model,
@@ -55,6 +60,14 @@ def evaluate_in_batches(
     if len(test_users) < batch_size:
         batch_size = len(test_users)
 
+    fused = _fused_evaluate(metric_list, test_users, targets, model, k, batch_size)
+    if fused is not None:
+        all_scores = fused
+        if logger is not None:
+            _log_metrics(model=model, logger=logger, metric_list=metric_list,
+                         all_scores=all_scores, verbose=verbose)
+        return all_scores[0] if len(all_scores) == 1 else all_scores
+
     accumulators = [0.0] * len(metric_list)
     n_batches = int(np.ceil(len(test_users) / batch_size))
     for i in range(n_batches):
@@ -76,6 +89,72 @@ def evaluate_in_batches(
                      all_scores=all_scores, verbose=verbose)
 
     return all_scores[0] if len(all_scores) == 1 else all_scores
+
+
+def _fused_evaluate(metric_list, test_users, targets, model, k: int,
+                    batch_size: int) -> Optional[List[float]]:
+    """Whole-evaluation-in-one-dispatch fast path.
+
+    When every requested metric is one of the built-in ranking metrics, the
+    dense relevance matrix for the test users is uploaded once and a single
+    jitted program scans user blocks — ``score_all_items`` (an MXU matmul for
+    factorization models) + all metric kernels — accumulating per-user sums on
+    device.  One host sync per evaluation instead of
+    ``batches x metrics`` round trips.
+
+    Returns None (falling back to the per-batch path) for custom metric
+    callables or when the relevance matrix would exceed the HBM cap.
+    """
+    kernel_for = {
+        metrics_lib.mapk: lambda s, r: metrics_lib.mapk_from_scores(s, r, k),
+        metrics_lib.mrr: metrics_lib.mrr_from_scores,
+        metrics_lib.auc: metrics_lib.auc_from_scores,
+    }
+    if not all(m in kernel_for for m in metric_list):
+        return None
+    U = len(test_users)
+    num_items = model.hparams['num_items']
+    if U * num_items > _FUSED_EVAL_MAX_ELEMENTS:
+        return None
+
+    S = -(-U // batch_size)
+    pad = S * batch_size - U
+    users_padded = np.concatenate([test_users, np.full(pad, test_users[0])]) \
+        if pad else test_users
+    relevance = (targets[users_padded].toarray() > 0).astype(np.float32)
+    user_mask = np.concatenate([np.ones(U, np.float32), np.zeros(pad, np.float32)])
+
+    kernels = [kernel_for[m] for m in metric_list]
+
+    cache = getattr(model, '_compiled_fn_cache', None)
+    if cache is None:
+        cache = model._compiled_fn_cache = {}
+    key = ('fused_eval', k, batch_size, S, num_items, len(kernels))
+
+    if key not in cache:
+        def eval_fn(params, users_blocks, relevance_blocks, mask_blocks):
+            def block(carry, xs):
+                users, relevance_b, mask = xs
+                scores = model.score_all_items(params, users)
+                sums = jnp.stack([
+                    (kernel(scores, relevance_b) * mask).sum() for kernel in kernels
+                ])
+                return carry + sums, None
+
+            totals, _ = jax.lax.scan(
+                block, jnp.zeros(len(kernels)),
+                (users_blocks, relevance_blocks, mask_blocks))
+            return totals
+
+        cache[key] = jax.jit(eval_fn)
+
+    totals = cache[key](
+        model.params,
+        jnp.asarray(users_padded.astype(np.int32).reshape(S, batch_size)),
+        jnp.asarray(relevance.reshape(S, batch_size, num_items)),
+        jnp.asarray(user_mask.reshape(S, batch_size)),
+    )
+    return [float(t) / U for t in np.asarray(totals)]
 
 
 def explicit_evaluate_in_batches(

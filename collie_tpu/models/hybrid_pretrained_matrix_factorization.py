@@ -206,12 +206,14 @@ class HybridPretrainedModel(BasePipeline):
         self._embeddings_frozen = True
         self._jit_score_cache = None
         self._jit_score_all_cache = None
+        self._compiled_fn_cache = {}
 
     def unfreeze_embeddings(self) -> None:
         """Resume optimizing the copied embedding tables (reference ``:481-484``)."""
         self._embeddings_frozen = False
         self._jit_score_cache = None
         self._jit_score_all_cache = None
+        self._compiled_fn_cache = {}
 
     def optimizer_specs(self) -> List[OptimizerSpec]:
         keys = sorted(self.params.keys())

@@ -1,0 +1,164 @@
+"""On-device negative sampling.
+
+The reference samples negatives in Python inside ``Dataset.__getitem__``
+(``/root/reference/collie/interactions/datasets.py:390-445``).  The host
+vectorized sampler (``collie_tpu.data.sampling``) already removes that hot
+loop; this module goes further for the scan-based training path: sampling runs
+on device, whole-epoch at a time, so the host dispatches ONE program per epoch.
+
+Two exact-mode algorithms:
+
+* ``sample_negatives_impl`` — the host sampler's semantics transplanted:
+  bounded redraw rounds against a sorted flat-key array.  Kept for parity
+  testing; needs ``num_users * num_items`` to fit int32 and costs a
+  searchsorted + row-sort per round.
+* ``complement_sample_negatives_impl`` — the fast path: **rejection-free**
+  sampling from each user's complement set.  For user ``u`` with ``d_u``
+  positives, draw ``r ~ U[0, num_items - d_u)`` and map it to the ``r``-th
+  non-positive item via a segmented binary search on
+  ``shifted[j] = positives[j] - j`` (strictly increasing per user):
+  ``j* = first j with shifted[j] > r``, ``item = r + j*``.  One fully
+  vectorized pass, exact by construction, no per-round membership tests, no
+  flat-key overflow limit.  An optional dedup round redraws within-row
+  duplicates (the reference's exact mode also only best-effort-avoids them
+  within its resample budget, ``datasets.py:404-424``).
+"""
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _duplicate_within_row_mask(negatives: jnp.ndarray) -> jnp.ndarray:
+    """Mark duplicated values within each row (all but the first occurrence).
+
+    ``K`` is small (typically <= 10), so an ``O(K^2)`` pairwise compare on the
+    VPU beats sort + scatter by ~2x on TPU for epoch-sized inputs.
+    """
+    K = negatives.shape[-1]
+    eq = negatives[..., :, None] == negatives[..., None, :]      # [..., K, K]
+    earlier = jnp.tril(jnp.ones((K, K), dtype=bool), k=-1)
+    return (eq & earlier).any(-1)
+
+
+def build_complement_tables(csr) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side precompute for complement sampling from a scipy CSR matrix.
+
+    Returns ``(indptr [num_users + 1], shifted_cols [nnz])`` where
+    ``shifted_cols[indptr[u] + j] = sorted_positives_of_u[j] - j``.
+    """
+    csr = csr.tocsr()
+    csr.sort_indices()
+    indptr = csr.indptr.astype(np.int32)
+    cols = csr.indices.astype(np.int32)
+    rank_within_row = np.arange(len(cols), dtype=np.int32) - np.repeat(
+        indptr[:-1], np.diff(indptr))
+    return indptr, cols - rank_within_row
+
+
+def complement_sample_negatives_impl(rng: jax.Array,
+                                     user_ids: jnp.ndarray,
+                                     indptr: jnp.ndarray,
+                                     shifted_cols: jnp.ndarray,
+                                     num_items: int,
+                                     num_negative_samples: int,
+                                     dedup_rounds: int = 1) -> jnp.ndarray:
+    """Draw ``user_ids.shape + (K,)`` negatives, exact w.r.t. each user's
+    positives, via segmented binary search (traceable core)."""
+    K = num_negative_samples
+    shape = user_ids.shape + (K,)
+    users = user_ids[..., None].astype(jnp.int32)
+    lo0 = indptr[users]                      # segment starts, broadcast over K
+    hi0 = indptr[users + 1]
+    complement_size = (num_items - (hi0 - lo0)).astype(jnp.int32)
+
+    def draw(draw_rng, negatives, redraw_mask):
+        # r ~ U[0, complement_size) per position
+        u01 = jax.random.uniform(draw_rng, shape)
+        r = jnp.minimum((u01 * complement_size).astype(jnp.int32),
+                        complement_size - 1)
+        # binary search: first t in [lo, hi) with shifted_cols[t] > r
+        lo = jnp.broadcast_to(lo0, shape)
+        hi = jnp.broadcast_to(hi0, shape)
+
+        def body(_, carry):
+            lo, hi = carry
+            active = lo < hi
+            mid = (lo + hi) // 2
+            mid_safe = jnp.clip(mid, 0, shifted_cols.shape[0] - 1)
+            go_left = shifted_cols[mid_safe] > r
+            new_hi = jnp.where(active & go_left, mid, hi)
+            new_lo = jnp.where(active & ~go_left, mid + 1, lo)
+            return new_lo, new_hi
+
+        # num_items upper-bounds any segment length
+        n_iters = max(1, int(np.ceil(np.log2(max(2, num_items + 1)))))
+        lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+        fresh = r + (lo - lo0)
+        return jnp.where(redraw_mask, fresh, negatives)
+
+    rngs = jax.random.split(rng, 1 + dedup_rounds)
+    negatives = draw(rngs[0], jnp.zeros(shape, jnp.int32),
+                     jnp.ones(shape, dtype=bool))
+    for round_idx in range(dedup_rounds):
+        dup = _duplicate_within_row_mask(negatives)
+        negatives = draw(rngs[1 + round_idx], negatives, dup)
+    return negatives
+
+
+def contains_pairs(positive_keys: jnp.ndarray,
+                   user_ids: jnp.ndarray,
+                   item_ids: jnp.ndarray,
+                   num_items: int) -> jnp.ndarray:
+    """Vectorized membership test against the sorted flat-key positives array.
+
+    Keys use ``positive_keys.dtype`` (int32 by default, since x64 is disabled
+    under jit); callers must ensure ``num_users * num_items`` fits that dtype.
+    """
+    key_dtype = positive_keys.dtype
+    keys = user_ids.astype(key_dtype) * num_items + item_ids.astype(key_dtype)
+    idx = jnp.searchsorted(positive_keys, keys)
+    idx = jnp.minimum(idx, positive_keys.shape[0] - 1)
+    return positive_keys[idx] == keys
+
+
+def sample_negatives_impl(rng: jax.Array,
+                          user_ids: jnp.ndarray,
+                          positive_keys: jnp.ndarray,
+                          num_items: int,
+                          num_negative_samples: int,
+                          exact: bool = True,
+                          max_resample_rounds: int = 8) -> jnp.ndarray:
+    """Redraw-rounds sampler (host-sampler semantics on device; traceable core)."""
+    B = user_ids.shape[0]
+    K = num_negative_samples
+    rng, draw_rng = jax.random.split(rng)
+    negatives = jax.random.randint(draw_rng, (B, K), 0, num_items, dtype=jnp.int32)
+    if not exact:
+        return negatives
+
+    users = user_ids[:, None].astype(jnp.int32)
+
+    def round_body(_, carry):
+        negatives, rng = carry
+        bad = contains_pairs(positive_keys,
+                             jnp.broadcast_to(users, (B, K)), negatives, num_items)
+        bad = bad | _duplicate_within_row_mask(negatives)
+        rng, redraw_rng = jax.random.split(rng)
+        fresh = jax.random.randint(redraw_rng, (B, K), 0, num_items, dtype=jnp.int32)
+        return jnp.where(bad, fresh, negatives), rng
+
+    negatives, _ = jax.lax.fori_loop(0, max_resample_rounds, round_body, (negatives, rng))
+    return negatives
+
+
+sample_negatives = jax.jit(
+    sample_negatives_impl,
+    static_argnames=('num_items', 'num_negative_samples', 'exact', 'max_resample_rounds'),
+)
+
+complement_sample_negatives = jax.jit(
+    complement_sample_negatives_impl,
+    static_argnames=('num_items', 'num_negative_samples', 'dedup_rounds'),
+)

@@ -60,6 +60,7 @@ class CollieTrainer:
                  terminate_on_nan: bool = False,
                  verbosity: int = 1,
                  mesh: Optional[Any] = None,
+                 epoch_mode: str = 'auto',
                  seed: Optional[int] = None):
         if model is not None and getattr(model, 'val_loader', None) is None and verbosity > 0:
             # reference auto-disables the sanity val check when no val data
@@ -74,6 +75,8 @@ class CollieTrainer:
         self.terminate_on_nan = terminate_on_nan
         self.verbosity = verbosity
         self.mesh = mesh
+        assert epoch_mode in ('auto', 'scan', 'step'), epoch_mode
+        self.epoch_mode = epoch_mode
         self.seed = seed if seed is not None else 0
         self.global_step = 0
         self.best_epoch_loss: Tuple[int, float] = (-1, float('inf'))
@@ -90,19 +93,63 @@ class CollieTrainer:
 
         params = dict(model.params)
 
-        train_step, val_step = self._build_steps(model, specs, active)
+        from collie_tpu.training.scan_engine import build_scan_epoch_fns, loader_is_scannable
+        use_scan_train = (self.epoch_mode != 'step'
+                          and loader_is_scannable(model.train_loader))
+        use_scan_val = (model.val_loader is not None and self.epoch_mode != 'step'
+                        and loader_is_scannable(model.val_loader))
+        if self.epoch_mode == 'scan' and not use_scan_train:
+            raise ValueError(
+                'epoch_mode="scan" requires an in-memory InteractionsDataLoader '
+                '(HDF5/out-of-core and custom loaders must use the per-step path).'
+            )
+
+        train_step = val_step = None
+        train_epoch_fn = val_epoch_fn = None
+        # compiled-function cache lives on the model (keyed by stage + mesh),
+        # so the multi-stage ``fit -> advance_stage -> fit`` idiom and repeat
+        # fits re-run compiled code instead of re-compiling it
+        cache = getattr(model, '_compiled_fn_cache', None)
+        if cache is None:
+            cache = model._compiled_fn_cache = {}
+        mesh_key = id(self.mesh) if self.mesh is not None else None
+        if use_scan_train:
+            self._device_put_loss_metadata(model)
+            key = ('train', stage, mesh_key, id(model.train_loader))
+            if key not in cache:
+                cache[key] = build_scan_epoch_fns(
+                    model, specs, active, model.train_loader,
+                    shuffle=getattr(model.train_loader, 'shuffle', True),
+                    mesh=self.mesh, training=True)
+            train_epoch_fn, _, scan_examples = cache[key]
+        if use_scan_val:
+            self._device_put_loss_metadata(model)
+            key = ('val', stage, mesh_key, id(model.val_loader))
+            if key not in cache:
+                cache[key] = build_scan_epoch_fns(
+                    model, specs, active, model.val_loader, shuffle=False,
+                    mesh=self.mesh, training=False)
+            val_epoch_fn, _, _ = cache[key]
+        if not use_scan_train or (model.val_loader is not None and not use_scan_val):
+            key = ('steps', stage, mesh_key)
+            if key not in cache:
+                cache[key] = self._build_steps(model, specs, active)
+            train_step, val_step = cache[key]
+
         shard_batch = lambda b: b  # noqa: E731
         if self.mesh is not None:
-            from collie_tpu.parallel import (init_sharded_opt_states, shard_batch_fn,
-                                             shard_params)
+            from collie_tpu.parallel import shard_batch_fn, shard_params
             params = shard_params(params, self.mesh)
             shard_batch = shard_batch_fn(self.mesh)
-            opt_states = init_sharded_opt_states(specs, params)
-        else:
-            opt_states = tuple(
-                jax.jit(spec.transform.init)({k: params[k] for k in spec.keys})
-                for spec in specs
-            )
+        # optimizer state resets each fit (reference semantics); the compiled
+        # init is cached so repeat fits only re-run it, not re-compile it
+        key = ('init', stage, mesh_key)
+        if key not in cache:
+            cache[key] = [jax.jit(spec.transform.init) for spec in specs]
+        opt_states = tuple(
+            init_fn({k: params[k] for k in spec.keys})
+            for init_fn, spec in zip(cache[key], specs)
+        )
 
         base_rng = jax.random.PRNGKey(self.seed)
 
@@ -116,29 +163,41 @@ class CollieTrainer:
 
         for epoch in range(start_epoch, self.max_epochs + 1):
             epoch_start = time.perf_counter()
-            losses = []
-            for batch in model.train_loader:
-                batch = shard_batch(batch)
-                params, opt_states, loss = train_step(
-                    params, opt_states, batch, base_rng, np.int32(self.global_step))
-                losses.append(loss)
-                total_examples += int(batch['mask'].sum()) if 'mask' in batch \
-                    else len(batch['users'])
-                self.global_step += 1
-                if self.logger is not None and self.global_step % self.log_every_n_steps == 0:
-                    self.logger.log_metrics({'train_loss_step': float(loss)},
-                                            step=self.global_step)
+            if use_scan_train:
+                # one dispatch for the whole epoch: on-device shuffle,
+                # negative sampling, and scan over every optimizer step
+                params, opt_states, epoch_loss = train_epoch_fn(
+                    params, opt_states, base_rng, np.int32(epoch))
+                train_loss = float(epoch_loss)
+                total_examples += scan_examples
+            else:
+                losses = []
+                for batch in model.train_loader:
+                    batch = shard_batch(batch)
+                    params, opt_states, loss = train_step(
+                        params, opt_states, batch, base_rng, np.int32(self.global_step))
+                    losses.append(loss)
+                    total_examples += int(batch['mask'].sum()) if 'mask' in batch \
+                        else len(batch['users'])
+                    self.global_step += 1
+                    if self.logger is not None and \
+                            self.global_step % self.log_every_n_steps == 0:
+                        self.logger.log_metrics({'train_loss_step': float(loss)},
+                                                step=self.global_step)
+                train_loss = float(jnp.mean(jnp.stack(losses)))
 
-            train_loss = float(jnp.mean(jnp.stack(losses)))
             if self.terminate_on_nan and not np.isfinite(train_loss):
                 raise FloatingPointError(f'NaN/Inf train loss at epoch {epoch}.')
 
             val_loss = None
             if model.val_loader is not None:
-                val_losses = [
-                    val_step(params, shard_batch(batch)) for batch in model.val_loader
-                ]
-                val_loss = float(jnp.mean(jnp.stack(val_losses)))
+                if use_scan_val:
+                    val_loss = float(val_epoch_fn(params, base_rng, np.int32(epoch)))
+                else:
+                    val_losses = [
+                        val_step(params, shard_batch(batch)) for batch in model.val_loader
+                    ]
+                    val_loss = float(jnp.mean(jnp.stack(val_losses)))
 
             model.hparams['num_epochs_completed'] = epoch
             self.num_epochs_completed = epoch
@@ -194,10 +253,14 @@ class CollieTrainer:
 
     # ------------------------------------------------------------ step build
 
-    def _build_steps(self, model, specs, active):
+    @staticmethod
+    def _device_put_loss_metadata(model) -> None:
         metadata = model.metadata_for_loss
         if metadata is not None:
             model.metadata_for_loss = {k: jnp.asarray(v) for k, v in metadata.items()}
+
+    def _build_steps(self, model, specs, active):
+        self._device_put_loss_metadata(model)
 
         def loss_fn(params, batch, rng):
             return model.calculate_loss(params, batch, rng=rng, training=True)
