@@ -373,6 +373,25 @@ class BasePipeline:
             self._jit_score_all_cache = fn
         return fn
 
+    def score_item_block(self,
+                         params: Dict[str, jnp.ndarray],
+                         user_ids: jnp.ndarray,
+                         item_ids: jnp.ndarray) -> jnp.ndarray:
+        """Scores for every (user, item) pair of a user batch x item tile:
+        ``[len(user_ids), len(item_ids)]``.
+
+        The tile primitive behind blockwise top-k retrieval
+        (``collie_tpu.retrieval``), which never materializes the full
+        ``[batch, num_items]`` matrix.  Default: vmap of the pairwise score;
+        factorization models override with one MXU matmul over the tile.
+        """
+        def one_user(u):
+            return self.score(params,
+                              jnp.full(item_ids.shape, u, dtype=jnp.int32),
+                              item_ids)
+
+        return jax.vmap(one_user)(user_ids)
+
     def get_item_predictions(self,
                              user_id: int = 0,
                              unseen_items_only: bool = False,

@@ -121,6 +121,17 @@ class MatrixFactorizationModel(BasePipeline):
         )
         return self._apply_y_range(preds)
 
+    def score_item_block(self, params, user_ids, item_ids):
+        """One MXU matmul per (user batch x item tile) for blockwise retrieval."""
+        user_emb = embedding_lookup(params['user_embeddings'], user_ids)
+        item_emb = embedding_lookup(params['item_embeddings'], item_ids)
+        preds = (
+            jnp.matmul(user_emb, item_emb.T, precision=jax.lax.Precision.HIGHEST)
+            + params['user_biases'][user_ids][:, None]
+            + params['item_biases'][item_ids][None, :]
+        )
+        return self._apply_y_range(preds)
+
     def _get_item_embeddings(self) -> jnp.ndarray:
         return self.params['item_embeddings']
 

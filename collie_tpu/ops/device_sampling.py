@@ -123,6 +123,37 @@ def contains_pairs(positive_keys: jnp.ndarray,
     return positive_keys[idx] == keys
 
 
+def pairs_in_csr(indptr: jnp.ndarray,
+                 cols: jnp.ndarray,
+                 user_ids: jnp.ndarray,
+                 item_ids: jnp.ndarray) -> jnp.ndarray:
+    """Membership test ``(user, item) in csr`` via segmented binary search over
+    each user's sorted column list.  No flat-key construction, so there is no
+    ``num_users * num_items`` overflow limit.  Shapes broadcast:
+    ``user_ids [...]`` x ``item_ids [...]`` -> bool of the broadcast shape.
+    """
+    user_ids, item_ids = jnp.broadcast_arrays(jnp.asarray(user_ids), jnp.asarray(item_ids))
+    lo = indptr[user_ids]
+    hi = indptr[user_ids + 1]
+    target = item_ids.astype(cols.dtype)
+
+    def body(_, carry):
+        lo, hi = carry
+        active = lo < hi
+        mid = (lo + hi) // 2
+        mid_safe = jnp.clip(mid, 0, cols.shape[0] - 1)
+        go_left = cols[mid_safe] >= target
+        new_hi = jnp.where(active & go_left, mid, hi)
+        new_lo = jnp.where(active & ~go_left, mid + 1, lo)
+        return new_lo, new_hi
+
+    max_len = int(np.ceil(np.log2(max(2, cols.shape[0] + 1))))
+    lo, hi = jax.lax.fori_loop(0, max_len, body, (lo, hi))
+    found = jnp.clip(lo, 0, cols.shape[0] - 1)
+    in_range = lo < indptr[user_ids + 1]
+    return in_range & (cols[found] == target)
+
+
 def sample_negatives_impl(rng: jax.Array,
                           user_ids: jnp.ndarray,
                           positive_keys: jnp.ndarray,

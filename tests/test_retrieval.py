@@ -1,0 +1,76 @@
+"""Blockwise / sharded top-k retrieval tests."""
+import jax
+import numpy as np
+import pytest
+
+from collie_tpu.retrieval import recommend
+
+from tests.fixtures.model_fixtures import (implicit_sets, implicit_train,  # noqa: F401
+                                           trained_mf_model)
+
+
+def test_recommend_matches_get_item_predictions(trained_mf_model):
+    """Blockwise retrieval must agree with the full-scoring reference API."""
+    users = np.array([0, 3, 7])
+    top_ids, top_scores = recommend(trained_mf_model, users, k=10,
+                                    filter_seen=False, item_tile=257)
+    for row_ids, row_scores, u in zip(top_ids, top_scores, users):
+        expected = trained_mf_model.get_item_predictions(int(u), sort_values=True)
+        np.testing.assert_array_equal(row_ids, expected.index.values[:10])
+        np.testing.assert_allclose(row_scores, expected.values[:10], rtol=1e-5)
+
+
+def test_recommend_filters_seen_items(trained_mf_model):
+    users = np.array([0, 1, 2])
+    top_ids, _ = recommend(trained_mf_model, users, k=10, filter_seen=True,
+                           item_tile=512)
+    train_csr = trained_mf_model.train_loader.mat.tocsr()
+    for row, u in zip(top_ids, users):
+        seen = set(train_csr[int(u)].indices.tolist())
+        assert not seen & set(row.tolist())
+
+
+def test_recommend_filtered_matches_unseen_predictions(trained_mf_model):
+    users = np.array([5])
+    top_ids, _ = recommend(trained_mf_model, users, k=10, filter_seen=True)
+    expected = trained_mf_model.get_item_predictions(5, unseen_items_only=True,
+                                                     sort_values=True)
+    np.testing.assert_array_equal(top_ids[0], expected.index.values[:10])
+
+
+def test_recommend_tile_size_invariance(trained_mf_model):
+    users = np.array([0, 9])
+    a_ids, a_scores = recommend(trained_mf_model, users, k=5, filter_seen=False,
+                                item_tile=64)
+    b_ids, b_scores = recommend(trained_mf_model, users, k=5, filter_seen=False,
+                                item_tile=4096)
+    np.testing.assert_array_equal(a_ids, b_ids)
+    np.testing.assert_allclose(a_scores, b_scores, rtol=1e-6)
+
+
+def test_recommend_sharded_matches_single_device(trained_mf_model):
+    from collie_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data=1, model=8)
+    users = np.array([0, 3, 7, 11])
+    single_ids, single_scores = recommend(trained_mf_model, users, k=10,
+                                          filter_seen=False, item_tile=256)
+    sharded_ids, sharded_scores = recommend(trained_mf_model, users, k=10,
+                                            filter_seen=False, item_tile=256,
+                                            mesh=mesh)
+    np.testing.assert_allclose(sharded_scores, single_scores, rtol=1e-5)
+    np.testing.assert_array_equal(sharded_ids, single_ids)
+
+
+def test_recommend_sharded_with_filtering(trained_mf_model):
+    from collie_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, model=8)
+    users = np.array([2, 4])
+    top_ids, _ = recommend(trained_mf_model, users, k=10, filter_seen=True,
+                           item_tile=256, mesh=mesh)
+    train_csr = trained_mf_model.train_loader.mat.tocsr()
+    for row, u in zip(top_ids, users):
+        seen = set(train_csr[int(u)].indices.tolist())
+        assert not seen & set(row.tolist())
