@@ -85,6 +85,10 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
         return top_scores, top_ids
 
     if mesh is None:
+        pallas_fn = _maybe_pallas_retrieve(model, k, item_tile, filter_seen)
+        if pallas_fn is not None:
+            return pallas_fn
+
         def retrieve(params, user_ids):
             top_scores, top_ids = _local_topk(params, user_ids, 0, num_items)
             return top_ids, top_scores
@@ -142,6 +146,39 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
             out_specs=(P(), P()),
             check_vma=False,
         )(params, user_ids)
+
+    return jax.jit(retrieve)
+
+
+def _maybe_pallas_retrieve(model, k: int, item_tile: int, filter_seen: bool):
+    """Fused Mosaic kernel fast path for plain MF retrieval.
+
+    Applies when the model is a ``MatrixFactorizationModel`` without seen-item
+    filtering (the scan path handles filtering): the score+top-k per item tile
+    runs in VMEM (``ops.pallas.retrieval_kernel``), so the [batch, num_items]
+    block never touches HBM.  The monotone ``y_range`` sigmoid is applied to
+    the k winning scores afterwards (it cannot change the ranking).
+    """
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+
+    if filter_seen or type(model) is not MatrixFactorizationModel or k > 128:
+        return None
+
+    from collie_tpu.ops.pallas.retrieval_kernel import mf_topk_retrieve
+
+    interpret = jax.default_backend() != 'tpu'
+    y_range = model.hparams.get('y_range')
+
+    def retrieve(params, user_ids):
+        user_emb = params['user_embeddings'][user_ids]
+        user_bias = params['user_biases'][user_ids]
+        top_ids, top_scores = mf_topk_retrieve(
+            user_emb, user_bias, params['item_embeddings'], params['item_biases'],
+            k=k, tile=item_tile, interpret=interpret)
+        if y_range is not None:
+            top_scores = jax.nn.sigmoid(top_scores) * (y_range[1] - y_range[0]) \
+                + y_range[0]
+        return top_ids, top_scores
 
     return jax.jit(retrieve)
 

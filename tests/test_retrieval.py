@@ -74,3 +74,33 @@ def test_recommend_sharded_with_filtering(trained_mf_model):
     for row, u in zip(top_ids, users):
         seen = set(train_csr[int(u)].indices.tolist())
         assert not seen & set(row.tolist())
+
+
+def test_pallas_kernel_matches_xla_topk_interpret_mode():
+    """Mosaic kernel correctness in interpret mode (CPU CI) against lax.top_k."""
+    import jax.numpy as jnp
+    from collie_tpu.ops.pallas.retrieval_kernel import mf_topk_retrieve
+
+    rng = np.random.default_rng(0)
+    B, D, I, k = 16, 24, 1000, 10
+    ue = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    ub = jnp.asarray(rng.standard_normal(B).astype(np.float32))
+    ie = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
+    ib = jnp.asarray(rng.standard_normal(I).astype(np.float32))
+    ids, scores = mf_topk_retrieve(ue, ub, ie, ib, k=k, tile=256, interpret=True)
+    full = ue @ ie.T + ub[:, None] + ib[None, :]
+    exp_scores, exp_ids = jax.lax.top_k(full, k)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(exp_ids))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(exp_scores),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_fast_path_used_for_plain_mf(trained_mf_model):
+    """recommend() without filtering routes MF through the Mosaic kernel and
+    still matches the full-scoring reference."""
+    users = np.array([1, 6])
+    top_ids, top_scores = recommend(trained_mf_model, users, k=10,
+                                    filter_seen=False, item_tile=512)
+    for row_ids, u in zip(top_ids, users):
+        expected = trained_mf_model.get_item_predictions(int(u), sort_values=True)
+        np.testing.assert_array_equal(row_ids, expected.index.values[:10])
