@@ -48,7 +48,10 @@ from collie_tpu.utils import (Timer,
 def __getattr__(name):
     """Lazily re-export the model / training / evaluation surface so importing
     ``collie_tpu.data`` alone does not pull in jax-heavy modules."""
-    from collie_tpu import _lazy_exports
-    if name in _lazy_exports.EXPORTS:
-        return _lazy_exports.resolve(name)
+    import importlib
+    # NOTE: ``from collie_tpu import _lazy_exports`` would re-enter this
+    # __getattr__; import_module targets the submodule directly
+    lazy = importlib.import_module('collie_tpu._lazy_exports')
+    if name in lazy.EXPORTS:
+        return lazy.resolve(name)
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -25,6 +25,11 @@ EXPORTS = {
     'HybridModel': 'collie_tpu.models.hybrid_matrix_factorization',
     'HybridPretrainedModel': 'collie_tpu.models.hybrid_pretrained_matrix_factorization',
     'ColdStartModel': 'collie_tpu.models.cold_start_matrix_factorization',
+    # serving / retrieval (TPU-native addition)
+    'recommend': 'collie_tpu.retrieval',
+    'build_retrieval_fn': 'collie_tpu.retrieval',
+    # mesh / sharding
+    'make_mesh': 'collie_tpu.parallel.mesh',
 }
 
 
