@@ -226,3 +226,44 @@ def test_validation_loop_runs(implicit_sets):
     trainer = CollieTrainer(model, max_epochs=2, verbosity=0, logger=Recorder())
     trainer.fit(model)
     assert len(vals) == 2
+
+
+def test_partial_credit_metadata_loss_end_to_end(implicit_train):
+    """Training with partial-credit item metadata (tutorial 04 config) runs
+    through the scan engine and changes the loss trajectory vs no metadata."""
+    rng = np.random.default_rng(0)
+    genres = rng.integers(0, 4, implicit_train.num_items)
+
+    def fit(metadata):
+        losses = []
+
+        class Recorder:
+            def log_metrics(self, metrics, step):
+                if 'train_loss_epoch' in metrics:
+                    losses.append(metrics['train_loss_epoch'])
+
+        kwargs = {}
+        if metadata:
+            kwargs = dict(metadata_for_loss={'genre': genres},
+                          metadata_for_loss_weights={'genre': 0.25})
+        model = MatrixFactorizationModel(train=implicit_train, embedding_dim=8,
+                                         lr=1e-1, loss='adaptive', seed=0, **kwargs)
+        trainer = CollieTrainer(model, max_epochs=3, verbosity=0, seed=0,
+                                logger=Recorder())
+        trainer.fit(model)
+        return losses
+
+    plain = fit(metadata=False)
+    credited = fit(metadata=True)
+    assert len(credited) == 3
+    # partial credit lowers the ideal difference for metadata matches, so the
+    # loss values must differ from the uncredited run
+    assert not np.allclose(plain, credited)
+
+
+def test_warp_loss_trains_end_to_end(implicit_train):
+    model = MatrixFactorizationModel(train=implicit_train, embedding_dim=8,
+                                     lr=1e-1, loss='warp', seed=0)
+    trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=0)
+    trainer.fit(model)
+    assert model.hparams['num_epochs_completed'] == 2

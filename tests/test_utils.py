@@ -183,3 +183,28 @@ def test_hdf5_training_end_to_end(tmp_path):
     trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=0)
     trainer.fit(model)
     assert model.hparams['num_epochs_completed'] == 2
+
+
+def test_epoch_timer_logger():
+    from collie_tpu.training.profiler import EpochTimer
+
+    timer = EpochTimer()
+    timer.log_metrics({'train_loss_epoch': 1.5}, step=1)
+    timer.log_metrics({'val_loss_epoch': 1.2}, step=1)
+    timer.log_metrics({'train_loss_epoch': 1.0}, step=2)
+    summary = timer.summary()
+    assert summary['epochs'] == 2
+    assert summary['final_train_loss'] == 1.0
+    assert summary['final_val_loss'] == 1.2
+
+
+def test_trace_context_produces_artifacts(tmp_path):
+    import jax.numpy as jnp
+    from collie_tpu.training.profiler import annotate, trace
+
+    with trace(str(tmp_path)):
+        with annotate('toy-matmul'):
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+    # jax writes a plugins/profile/<ts>/ tree under the logdir
+    produced = list(tmp_path.rglob('*'))
+    assert produced, 'trace produced no artifacts'
