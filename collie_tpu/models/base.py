@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from collie_tpu.config import enable_compilation_cache
 from collie_tpu.data import (BaseInteractions, ExplicitInteractions, Interactions,
                              InteractionsDataLoader)
 from collie_tpu.ops import losses as loss_lib
@@ -44,6 +45,8 @@ from collie_tpu.training.optimizers import OptimizerSpec, build_transform, split
 from collie_tpu.utils import get_random_seed
 
 INTERACTIONS_LIKE_INPUT = Union[BaseInteractions, InteractionsDataLoader, None]
+
+enable_compilation_cache()
 
 
 class BasePipeline:
@@ -64,6 +67,39 @@ class BasePipeline:
                  load_model_path: Optional[Union[str, Path]] = None,
                  map_location: Optional[str] = None,  # API parity; unused on TPU
                  **kwargs):
+        """Common pipeline construction (reference ``base_pipeline.py:131-243``).
+
+        Parameters
+        ----------
+        train: Interactions or InteractionsDataLoader
+            Training data. A raw ``Interactions`` is auto-wrapped in an
+            ``InteractionsDataLoader`` with ``shuffle=True``
+        val: Interactions or InteractionsDataLoader
+            Validation data, auto-wrapped with ``shuffle=False``
+        lr: float
+            Model learning rate
+        lr_scheduler_func: callable or scheduler instance
+            Learning rate scheduler used during fitting (e.g.
+            ``collie_tpu.training.ReduceLROnPlateau``)
+        weight_decay: float
+            Coupled (torch-style) weight decay added to gradients
+        optimizer: str or callable
+            One of 'sgd' / 'adagrad' / 'adam' / 'sparse_adam', or a factory
+            returning an optax transform
+        loss: str or callable
+            'bpr' / 'adaptive_bpr' / 'hinge' / 'adaptive_hinge' / 'adaptive' /
+            'warp' (implicit) or 'mse' / 'mae' (explicit); adaptive variants
+            auto-selected when ``num_negative_samples > 1``
+        metadata_for_loss: dict
+            Categorical item metadata arrays (``num_items``-long) for
+            partial-credit losses
+        metadata_for_loss_weights: dict
+            Weight per metadata key; weights must sum to <= 1
+        load_model_path: str or Path
+            Load a previously saved model instead of building a new one
+        map_location: str
+            Accepted for API parity with the reference; unused on TPU
+        """
         if isinstance(train, (Interactions, ExplicitInteractions)):
             train = InteractionsDataLoader(interactions=train, shuffle=True)
         if isinstance(val, (Interactions, ExplicitInteractions)):

@@ -41,8 +41,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from collie_tpu.config import enable_compilation_cache
 from collie_tpu.training.optimizers import get_lr, set_lr
 from collie_tpu.training.schedulers import resolve_scheduler
+
+enable_compilation_cache()
 
 
 class CollieTrainer:

@@ -284,10 +284,16 @@ def _parse_numpydoc_parameters(doc: str) -> Dict[str, str]:
         if set(stripped) == {'-'} and stripped:
             if current_name is not None:
                 # new section header reached ("Returns\n-------"): the header
-                # line was absorbed as a description line; drop it and stop
-                if current_lines and current_lines[-1].strip().isidentifier():
-                    current_lines.pop()
-                flush()
+                # line was absorbed as a new "param" entry; discard it
+                if len(current_lines) == 1 and \
+                        current_lines[0].strip().isidentifier():
+                    current_name = None
+                    current_lines = []
+                else:
+                    # header absorbed as a trailing description line
+                    if current_lines and current_lines[-1].strip().isidentifier():
+                        current_lines.pop()
+                    flush()
                 break
             continue
         if not stripped:
