@@ -9,6 +9,7 @@ from collie_tpu.data.loaders import (ApproximateNegativeSamplingInteractionsData
                                      BaseInteractionsDataLoader,
                                      HDF5InteractionsDataLoader,
                                      InteractionsDataLoader)
+from collie_tpu.data.prefetch import PrefetchLoader
 from collie_tpu.data.sampling import NegativeSampler
 from collie_tpu.data import synthetic
 
@@ -22,6 +23,7 @@ __all__ = [
     'Interactions',
     'InteractionsDataLoader',
     'NegativeSampler',
+    'PrefetchLoader',
     'random_split',
     'stratified_split',
     'synthetic',

@@ -192,3 +192,51 @@ def test_loader_kwarg_splitting_constructor():
                                     check_num_negative_samples_is_valid=False,
                                     batch_size=4)
     assert loader.num_interactions == 8
+
+
+def test_prefetch_loader_is_drop_in(interactions):
+    from collie_tpu.data import PrefetchLoader
+
+    base = InteractionsDataLoader(interactions=interactions, batch_size=3,
+                                  shuffle=False)
+    wrapped = PrefetchLoader(base)
+    assert wrapped.num_users == base.num_users
+    assert len(wrapped) == len(base)
+    base_batches = list(base)
+    wrapped_batches = list(wrapped)
+    assert len(wrapped_batches) == len(base_batches)
+    np.testing.assert_array_equal(wrapped_batches[0]['users'],
+                                  base_batches[0]['users'])
+
+
+def test_prefetch_loader_propagates_producer_errors():
+    from collie_tpu.data import PrefetchLoader
+
+    class Exploding:
+        def __iter__(self):
+            yield {'users': np.zeros(2)}
+            raise RuntimeError('boom')
+
+    with pytest.raises(RuntimeError, match='boom'):
+        list(PrefetchLoader(Exploding()))
+
+
+def test_prefetch_loader_trains_hdf5(tmp_path):
+    from collie_tpu.data import HDF5InteractionsDataLoader, PrefetchLoader, write_hdf5_meta
+    from collie_tpu.data.synthetic import generate_interactions_df
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+    from collie_tpu.training.trainer import CollieTrainer
+    from collie_tpu.utils import pandas_df_to_hdf5
+
+    df = generate_interactions_df(num_users=80, num_items=160, num_interactions=2000,
+                                  seed=5)
+    path = str(tmp_path / 'p.h5')
+    pandas_df_to_hdf5(df, path)
+    write_hdf5_meta(path, num_users=80, num_items=160)
+    loader = PrefetchLoader(HDF5InteractionsDataLoader(
+        hdf5_path=path, batch_size=256, shuffle=True, num_negative_samples=4))
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8,
+                                     loss='adaptive', seed=0)
+    trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=0)
+    trainer.fit(model)
+    assert model.hparams['num_epochs_completed'] == 2
