@@ -95,66 +95,62 @@ def _fused_evaluate(metric_list, test_users, targets, model, k: int,
                     batch_size: int) -> Optional[List[float]]:
     """Whole-evaluation-in-one-dispatch fast path.
 
-    When every requested metric is one of the built-in ranking metrics, the
-    dense relevance matrix for the test users is uploaded once and a single
+    When every requested metric is one of the built-in ranking metrics, one
     jitted program scans user blocks — ``score_all_items`` (an MXU matmul for
-    factorization models) + all metric kernels — accumulating per-user sums on
-    device.  One host sync per evaluation instead of
-    ``batches x metrics`` round trips.
+    factorization models) + the rank-based metric kernel — accumulating
+    per-user sums on device.  The host uploads only each user's padded
+    positive-item list (``[users, max_test_degree]``), never a dense
+    ``[users, num_items]`` relevance matrix, so upload cost is independent of
+    catalog size.  One host sync per evaluation.
 
     Returns None (falling back to the per-batch path) for custom metric
-    callables or when the relevance matrix would exceed the HBM cap.
+    callables.
     """
-    kernel_for = {
-        metrics_lib.mapk: lambda s, r: metrics_lib.mapk_from_scores(s, r, k),
-        metrics_lib.mrr: metrics_lib.mrr_from_scores,
-        metrics_lib.auc: metrics_lib.auc_from_scores,
-    }
-    if not all(m in kernel_for for m in metric_list):
+    metric_row = {metrics_lib.mapk: 0, metrics_lib.mrr: 1, metrics_lib.auc: 2}
+    if not all(m in metric_row for m in metric_list):
         return None
     U = len(test_users)
     num_items = model.hparams['num_items']
-    if U * num_items > _FUSED_EVAL_MAX_ELEMENTS:
-        return None
+    if batch_size * num_items > _FUSED_EVAL_MAX_ELEMENTS:
+        return None  # a single score block would exceed the HBM cap
 
     S = -(-U // batch_size)
     pad = S * batch_size - U
     users_padded = np.concatenate([test_users, np.full(pad, test_users[0])]) \
         if pad else test_users
-    relevance = (targets[users_padded].toarray() > 0).astype(np.float32)
+    pos_items, pos_mask = metrics_lib.padded_positives(targets, users_padded)
     user_mask = np.concatenate([np.ones(U, np.float32), np.zeros(pad, np.float32)])
-
-    kernels = [kernel_for[m] for m in metric_list]
+    D = pos_items.shape[1]
 
     cache = getattr(model, '_compiled_fn_cache', None)
     if cache is None:
         cache = model._compiled_fn_cache = {}
-    key = ('fused_eval', k, batch_size, S, num_items, len(kernels))
+    key = ('fused_eval', k, batch_size, S, D, num_items)
 
     if key not in cache:
-        def eval_fn(params, users_blocks, relevance_blocks, mask_blocks):
+        def eval_fn(params, users_blocks, pos_blocks, pos_mask_blocks, mask_blocks):
             def block(carry, xs):
-                users, relevance_b, mask = xs
+                users, pos_b, pos_mask_b, mask = xs
                 scores = model.score_all_items(params, users)
-                sums = jnp.stack([
-                    (kernel(scores, relevance_b) * mask).sum() for kernel in kernels
-                ])
-                return carry + sums, None
+                per_user = metrics_lib.metrics_from_positive_ranks(
+                    scores, pos_b, pos_mask_b, k)           # [3, B]
+                return carry + (per_user * mask[None, :]).sum(axis=1), None
 
             totals, _ = jax.lax.scan(
-                block, jnp.zeros(len(kernels)),
-                (users_blocks, relevance_blocks, mask_blocks))
+                block, jnp.zeros(3),
+                (users_blocks, pos_blocks, pos_mask_blocks, mask_blocks))
             return totals
 
         cache[key] = jax.jit(eval_fn)
 
-    totals = cache[key](
+    totals = np.asarray(cache[key](
         model.params,
         jnp.asarray(users_padded.astype(np.int32).reshape(S, batch_size)),
-        jnp.asarray(relevance.reshape(S, batch_size, num_items)),
+        jnp.asarray(pos_items.reshape(S, batch_size, D)),
+        jnp.asarray(pos_mask.reshape(S, batch_size, D)),
         jnp.asarray(user_mask.reshape(S, batch_size)),
-    )
-    return [float(t) / U for t in np.asarray(totals)]
+    ))
+    return [float(totals[metric_row[m]]) / U for m in metric_list]
 
 
 def explicit_evaluate_in_batches(

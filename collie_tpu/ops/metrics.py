@@ -95,6 +95,86 @@ def _dense_relevance_block(targets: csr_matrix,
     return (block > 0).astype(np.float32)
 
 
+def padded_positives(targets: csr_matrix, user_ids: np.ndarray,
+                     max_degree: int = None):
+    """Host: per-user positive item lists padded to a fixed width.
+
+    Returns ``(pos_items [U, D] int32, pos_mask [U, D] float32)`` — the
+    compact per-user representation consumed by the rank-based metric kernel
+    (vs a dense ``[U, num_items]`` relevance block, this uploads
+    ``max_degree / num_items`` of the data).
+    """
+    rows = targets[np.asarray(user_ids)]
+    degrees = np.diff(rows.indptr)
+    D = int(max_degree if max_degree is not None else max(int(degrees.max()), 1))
+    U = len(user_ids)
+    pos = np.zeros((U, D), dtype=np.int32)
+    mask = np.zeros((U, D), dtype=np.float32)
+    for i in range(U):
+        d = min(int(degrees[i]), D)
+        cols = rows.indices[rows.indptr[i]:rows.indptr[i] + d]
+        pos[i, :d] = cols
+        mask[i, :d] = 1.0
+    return pos, mask
+
+
+@partial(jax.jit, static_argnames=('k',))
+def metrics_from_positive_ranks(scores: jnp.ndarray,
+                                pos_items: jnp.ndarray,
+                                pos_mask: jnp.ndarray,
+                                k: int) -> jnp.ndarray:
+    """All three ranking metrics from each user's positive-item ranks.
+
+    The full ``[batch, num_items]`` score block stays on device; the only
+    per-user data needed are positive item ids.  Every item's 1-based
+    ascending rank is computed once (argsort + scatter, as in
+    ``auc_from_scores``); positives' ranks are gathered and:
+
+    * AUC  = Mann-Whitney from the ascending rank sum;
+    * MRR  = 1 / min descending rank;
+    * MAP@k = sum over positives with descending rank r <= k of
+      (count of positives ranked <= r) / r, over ``min(k, degree)`` —
+      identical to the reference's topk formulation for tie-free scores.
+
+    Returns ``[3, batch]`` rows ``(ap@k, reciprocal rank, auc)``.
+    """
+    num_items = scores.shape[1]
+    order = jnp.argsort(scores, axis=1)  # ascending
+    asc_ranks = jax.vmap(lambda o: jnp.zeros(o.shape, jnp.int32).at[o].set(
+        jnp.arange(1, o.shape[0] + 1, dtype=jnp.int32)))(order)
+
+    pos_asc = jnp.take_along_axis(asc_ranks, pos_items, axis=1).astype(jnp.float32)
+    pos_desc = num_items + 1 - pos_asc                      # 1-based descending
+    big = jnp.float32(num_items + 1)
+    pos_desc_masked = jnp.where(pos_mask > 0, pos_desc, big)
+
+    degree = pos_mask.sum(axis=1)
+    num_neg = num_items - degree
+
+    # AUC from ascending rank sum
+    rank_sum = (pos_asc * pos_mask).sum(axis=1)
+    denom = degree * num_neg
+    auc_vec = jnp.where(denom > 0,
+                        (rank_sum - degree * (degree + 1) / 2) / jnp.maximum(denom, 1.0),
+                        0.5)
+
+    # MRR from the best (smallest) descending rank
+    best = pos_desc_masked.min(axis=1)
+    rr_vec = jnp.where(degree > 0, 1.0 / best, 0.0)
+
+    # MAP@k: sort each user's positive desc-ranks; j-th smallest rank r_j
+    # contributes (j+1)/r_j when r_j <= k
+    sorted_desc = jnp.sort(pos_desc_masked, axis=1)
+    j = jnp.arange(1, sorted_desc.shape[1] + 1, dtype=jnp.float32)[None, :]
+    contrib = jnp.where(sorted_desc <= k, j / sorted_desc, 0.0)
+    ap_vec = jnp.where(degree > 0,
+                       contrib.sum(axis=1) / jnp.minimum(jnp.float32(k),
+                                                         jnp.maximum(degree, 1.0)),
+                       0.0)
+
+    return jnp.stack([ap_vec, rr_vec, auc_vec])
+
+
 def _as_score_matrix(preds) -> jnp.ndarray:
     return jnp.asarray(preds, dtype=jnp.float32)
 

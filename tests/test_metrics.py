@@ -114,3 +114,37 @@ def test_auc_matches_sklearn_on_random_problems(rng):
             roc_auc_score(relevance[i], scores[i]) for i in range(len(scores))
         ])
         np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_metrics_from_positive_ranks_matches_dense_kernels(rng):
+    """The rank-based kernel (fused-eval fast path) must agree with the dense
+    relevance kernels on random problems."""
+    from collie_tpu.ops.metrics import metrics_from_positive_ranks, padded_positives
+    from scipy.sparse import csr_matrix
+
+    for trial in range(3):
+        U, I, k = 9, 60, 10
+        scores = rng.standard_normal((U, I)).astype(np.float32)
+        relevance = (rng.random((U, I)) < 0.15).astype(np.float32)
+        relevance[:, 0] = 1.0  # no degenerate all-negative rows
+        targets = csr_matrix(relevance)
+        pos, mask = padded_positives(targets, np.arange(U))
+        ap, rr, auc_v = np.asarray(metrics_from_positive_ranks(
+            scores, pos, mask, k))
+        np.testing.assert_allclose(ap, np.asarray(mapk_from_scores(scores, relevance, k)),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(rr, np.asarray(mrr_from_scores(scores, relevance)),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(auc_v, np.asarray(auc_from_scores(scores, relevance)),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_metrics_from_positive_ranks_toy_values(targets, implicit_predicted_scores):
+    from collie_tpu.ops.metrics import metrics_from_positive_ranks, padded_positives
+
+    pos, mask = padded_positives(targets, USER_IDS)
+    ap, rr, auc_v = np.asarray(metrics_from_positive_ranks(
+        implicit_predicted_scores, pos, mask, 4))
+    assert_almost_equal(float(ap.mean()), 0.7685185, decimal=5)
+    assert_almost_equal(float(rr.mean()), 0.8333333, decimal=5)
+    assert_almost_equal(float(auc_v.mean()), 0.5277777, decimal=5)
