@@ -87,11 +87,22 @@ def get_lr(opt_state) -> float:
 
 
 def set_lr(opt_state, new_lr: float):
-    """Return ``opt_state`` with the injected learning rate replaced."""
+    """Return ``opt_state`` with the injected learning rate replaced.
+
+    The replacement must carry the exact same abstract value (dtype AND
+    weak_type) as the original — an aval mismatch would silently retrigger a
+    full recompile of the epoch program on the next step.
+    """
+    import jax.numpy as jnp
+
     hp = _find_hyperparams(opt_state)
     hp_new = dict(hp)
-    import jax.numpy as jnp
-    hp_new['learning_rate'] = jnp.asarray(new_lr, dtype=jnp.asarray(hp['learning_rate']).dtype)
+    old = jnp.asarray(hp['learning_rate'])
+    if getattr(old, 'weak_type', False):
+        new = jnp.asarray(float(new_lr))           # weakly-typed, like the original
+    else:
+        new = jnp.asarray(new_lr, dtype=old.dtype)
+    hp_new['learning_rate'] = new
     return opt_state._replace(hyperparams=hp_new)
 
 

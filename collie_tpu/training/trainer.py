@@ -64,6 +64,8 @@ class CollieTrainer:
                  verbosity: int = 1,
                  mesh: Optional[Any] = None,
                  epoch_mode: str = 'auto',
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_every_n_epochs: int = 1,
                  seed: Optional[int] = None):
         if model is not None and getattr(model, 'val_loader', None) is None and verbosity > 0:
             # reference auto-disables the sanity val check when no val data
@@ -84,8 +86,46 @@ class CollieTrainer:
         self.global_step = 0
         self.best_epoch_loss: Tuple[int, float] = (-1, float('inf'))
         self.num_epochs_completed = 0
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every_n_epochs = checkpoint_every_n_epochs
+        self._pending_resume = None
         # throughput accounting for benchmarks
         self.last_fit_examples_per_sec: Optional[float] = None
+
+    # ---------------------------------------------------------- checkpoints
+
+    def _write_checkpoint(self, params, opt_states, schedulers, epoch: int) -> None:
+        import pickle
+        from pathlib import Path
+
+        Path(self.checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        host = jax.tree_util.tree_map(np.asarray, (dict(params), opt_states))
+        payload = {
+            'params': host[0],
+            'opt_states': host[1],
+            'schedulers': schedulers,
+            'epoch': epoch,
+            'global_step': self.global_step,
+            'best_epoch_loss': self.best_epoch_loss,
+        }
+        path = Path(self.checkpoint_dir) / f'checkpoint_epoch_{epoch}.pkl'
+        tmp = path.with_suffix('.tmp')
+        with open(tmp, 'wb') as f:
+            pickle.dump(payload, f)
+        tmp.rename(path)  # atomic publish: readers never see partial files
+        if self.verbosity > 1:
+            print(f'  checkpoint -> {path}')
+
+    def resume_from_checkpoint(self, path) -> int:
+        """Arm the next ``fit`` call to restore full training state
+        (parameters, optimizer moments + learning rates, scheduler and
+        early-stopping state, epoch/step counters).  Returns the checkpoint's
+        epoch."""
+        import pickle
+
+        with open(path, 'rb') as f:
+            self._pending_resume = pickle.load(f)
+        return self._pending_resume['epoch']
 
     # ------------------------------------------------------------------- fit
 
@@ -160,6 +200,22 @@ class CollieTrainer:
         monitor_val = model.val_loader is not None
         epochs_no_improvement = 0
 
+        if self._pending_resume is not None:
+            # full-training-state resume (params + optimizer moments + lr +
+            # scheduler/early-stopping state) — a capability beyond the
+            # reference, whose checkpoints never include optimizer state
+            # (``base_pipeline.py:120-123``)
+            ckpt = self._pending_resume
+            self._pending_resume = None
+            params = {k: jnp.asarray(v) for k, v in ckpt['params'].items()}
+            opt_states = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                ckpt['opt_states'])
+            schedulers = ckpt['schedulers']
+            model.hparams['num_epochs_completed'] = ckpt['epoch']
+            self.global_step = ckpt['global_step']
+            self.best_epoch_loss = ckpt['best_epoch_loss']
+
         start_epoch = model.hparams.get('num_epochs_completed', 0) + 1
         total_examples = 0
         fit_start = time.perf_counter()
@@ -232,6 +288,10 @@ class CollieTrainer:
                     if self.verbosity > 0:
                         print(f'  lr[{specs[i].name}] -> {max(current * factor, min_lr):.2e}')
             opt_states = tuple(new_states)
+
+            if (self.checkpoint_dir is not None
+                    and epoch % self.checkpoint_every_n_epochs == 0):
+                self._write_checkpoint(params, opt_states, schedulers, epoch)
 
             # early stopping on best epoch loss (``trainer.py:379-390``)
             if monitored < self.best_epoch_loss[1]:
