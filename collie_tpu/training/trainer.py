@@ -198,7 +198,6 @@ class CollieTrainer:
 
         schedulers = [resolve_scheduler(model.lr_scheduler_func) for _ in specs]
         monitor_val = model.val_loader is not None
-        epochs_no_improvement = 0
 
         if self._pending_resume is not None:
             # full-training-state resume (params + optimizer moments + lr +
@@ -219,6 +218,41 @@ class CollieTrainer:
         start_epoch = model.hparams.get('num_epochs_completed', 0) + 1
         total_examples = 0
         fit_start = time.perf_counter()
+
+        # the step/epoch programs donate their input buffers, which includes
+        # the arrays model.params currently references — if training raises
+        # (NaN guard, interrupt), the model must still end up holding the
+        # latest live buffers, hence the try/finally
+        try:
+            self._run_epochs(
+                model=model, specs=specs, schedulers=schedulers,
+                monitor_val=monitor_val, start_epoch=start_epoch,
+                use_scan_train=use_scan_train, use_scan_val=use_scan_val,
+                train_epoch_fn=train_epoch_fn, val_epoch_fn=val_epoch_fn,
+                train_step=train_step, val_step=val_step,
+                shard_batch=shard_batch, base_rng=base_rng,
+                state_box=(state_box := {'params': params,
+                                         'opt_states': opt_states,
+                                         'total_examples': total_examples}),
+                scan_examples=scan_examples if use_scan_train else 0,
+            )
+        finally:
+            model.params = state_box['params']
+            model._jit_score_cache = None
+            model._jit_score_all_cache = None
+
+        fit_secs = time.perf_counter() - fit_start
+        total_examples = state_box['total_examples']
+        self.last_fit_examples_per_sec = total_examples / fit_secs if fit_secs > 0 else None
+
+    def _run_epochs(self, *, model, specs, schedulers, monitor_val, start_epoch,
+                    use_scan_train, use_scan_val, train_epoch_fn, val_epoch_fn,
+                    train_step, val_step, shard_batch, base_rng, state_box,
+                    scan_examples):
+        params = state_box['params']
+        opt_states = state_box['opt_states']
+        total_examples = state_box['total_examples']
+        epochs_no_improvement = 0
 
         for epoch in range(start_epoch, self.max_epochs + 1):
             epoch_start = time.perf_counter()
@@ -244,6 +278,10 @@ class CollieTrainer:
                         self.logger.log_metrics({'train_loss_step': float(loss)},
                                                 step=self.global_step)
                 train_loss = float(jnp.mean(jnp.stack(losses)))
+
+            state_box['params'] = params
+            state_box['opt_states'] = opt_states
+            state_box['total_examples'] = total_examples
 
             if self.terminate_on_nan and not np.isfinite(train_loss):
                 raise FloatingPointError(f'NaN/Inf train loss at epoch {epoch}.')
@@ -307,12 +345,7 @@ class CollieTrainer:
                               f'loss {self.best_epoch_loss[1]:.5f}).')
                     break
 
-        fit_secs = time.perf_counter() - fit_start
-        self.last_fit_examples_per_sec = total_examples / fit_secs if fit_secs > 0 else None
 
-        model.params = params
-        model._jit_score_cache = None
-        model._jit_score_all_cache = None
 
     # ------------------------------------------------------------ step build
 

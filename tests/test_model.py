@@ -267,3 +267,23 @@ def test_warp_loss_trains_end_to_end(implicit_train):
     trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=0)
     trainer.fit(model)
     assert model.hparams['num_epochs_completed'] == 2
+
+
+def test_model_usable_after_nan_abort(implicit_train):
+    """If fit raises (NaN guard), the model must hold live buffers — the
+    epoch programs donate their inputs, so a naive implementation leaves
+    model.params pointing at invalidated arrays."""
+    import jax.numpy as jnp
+
+    def exploding_loss(pos, neg, **kwargs):
+        return (pos - neg).mean() * jnp.float32(np.nan)
+
+    model = MatrixFactorizationModel(train=implicit_train, embedding_dim=4,
+                                     loss=exploding_loss, seed=0)
+    trainer = CollieTrainer(model, max_epochs=3, verbosity=0, seed=0,
+                            terminate_on_nan=True)
+    with pytest.raises(FloatingPointError):
+        trainer.fit(model)
+    # params are live and usable for inference
+    scores = model(np.array([0, 1]), np.array([0, 1]))
+    assert scores.shape == (2,)
