@@ -10,7 +10,7 @@ evaluation, and mesh-sharded multi-chip execution.
 Everything is re-exported flat from this module, matching the reference's
 star-import surface (``/root/reference/collie/__init__.py:1-10``).
 """
-__version__ = '0.1.0'
+from collie_tpu._version import __version__
 
 from collie_tpu.config import DATA_PATH
 from collie_tpu.data import (ApproximateNegativeSamplingInteractionsDataLoader,
