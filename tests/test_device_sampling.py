@@ -106,3 +106,53 @@ def test_approx_sampler_shape_and_range(problem):
         exact=False))
     assert negs.shape == (100, 7)
     assert negs.min() >= 0 and negs.max() < num_items
+
+
+def test_distinct_sampler_guarantees(problem):
+    from collie_tpu.ops.device_sampling import distinct_complement_sample_negatives
+
+    mat, positives, num_users, num_items = problem
+    indptr, shifted = build_complement_tables(mat)
+    users = jnp.asarray(np.random.default_rng(9).integers(0, num_users, 3000)
+                        .astype(np.int32))
+    negs = np.asarray(distinct_complement_sample_negatives(
+        jax.random.PRNGKey(9), users, jnp.asarray(indptr), jnp.asarray(shifted),
+        num_items, 10))
+    # no positives, no within-row duplicates — both guaranteed by construction
+    collisions = sum((int(u), int(i)) in positives
+                     for u, row in zip(np.asarray(users), negs) for i in row)
+    assert collisions == 0
+    dups = sum(len(row) - len(set(row.tolist())) for row in negs)
+    assert dups == 0
+    assert negs.min() >= 0 and negs.max() < num_items
+
+
+def test_distinct_sampler_marginals_near_uniform(problem):
+    from collie_tpu.ops.device_sampling import distinct_complement_sample_negatives
+
+    mat, _, _, num_items = problem
+    indptr, shifted = build_complement_tables(mat)
+    users = jnp.zeros(50_000, jnp.int32)
+    negs = np.asarray(distinct_complement_sample_negatives(
+        jax.random.PRNGKey(10), users, jnp.asarray(indptr), jnp.asarray(shifted),
+        num_items, 5)).reshape(-1)
+    counts = np.bincount(negs, minlength=num_items)
+    pos0 = mat[0].indices
+    assert counts[pos0].sum() == 0
+    free = np.setdiff1d(np.arange(num_items), pos0)
+    cv = counts[free].std() / counts[free].mean()
+    assert cv < 4.0 / np.sqrt(counts[free].mean())
+
+
+def test_distinct_sampler_rows_are_shuffled(problem):
+    """WARP scans negatives in order — rows must not come back sorted."""
+    from collie_tpu.ops.device_sampling import distinct_complement_sample_negatives
+
+    mat, _, num_users, num_items = problem
+    indptr, shifted = build_complement_tables(mat)
+    users = jnp.zeros(200, jnp.int32)
+    negs = np.asarray(distinct_complement_sample_negatives(
+        jax.random.PRNGKey(11), users, jnp.asarray(indptr), jnp.asarray(shifted),
+        num_items, 8))
+    sorted_rows = sum(bool((np.diff(row) > 0).all()) for row in negs)
+    assert sorted_rows < 10  # ~1/8! chance per row if properly shuffled
