@@ -9,7 +9,7 @@ per-user test counts via segment arithmetic), preserving the reference's
 guarantees: every user appears in every split, single-interaction users raise
 unless ``force_split=True`` (in which case they land in train).
 """
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import numpy as np
 from scipy.sparse import coo_matrix

@@ -8,8 +8,6 @@ collisions (against the user's positives, and duplicates within a row) for a
 bounded number of vectorized rounds, then — like the reference's
 ``max_number_of_samples_to_consider`` fallback — accepts whatever remains.
 """
-from typing import Optional
-
 import numpy as np
 
 

@@ -8,8 +8,6 @@ shape (943 users x 1682 items x 100k interactions by default) with planted
 latent factors — a model that learns recovers the structure, so ranking-metric
 quality gates remain meaningful.
 """
-from typing import Optional, Tuple
-
 import numpy as np
 import pandas as pd
 

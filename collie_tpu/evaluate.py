@@ -14,7 +14,6 @@ import numpy as np
 
 from collie_tpu.data import ExplicitInteractions, Interactions, InteractionsDataLoader
 from collie_tpu.ops import metrics as metrics_lib
-from collie_tpu.ops.metrics import _dense_relevance_block
 
 # cap on the dense relevance block a fused whole-eval dispatch may hold in HBM
 _FUSED_EVAL_MAX_ELEMENTS = 512 * 1024 * 1024

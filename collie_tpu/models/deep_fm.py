@@ -9,7 +9,7 @@ scalars that its forward never uses (``:138-139``) — reproduced here for
 state-dict parity (and, as in the reference, they receive the separate bias
 optimizer but no gradient signal).
 """
-from typing import Any, Callable, Dict, Optional, Union
+from typing import Callable, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp

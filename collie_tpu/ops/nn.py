@@ -11,7 +11,7 @@ Naming matters: layer bias keys contain ``'bias'``, so — exactly as in the
 reference's name-based optimizer split (``base_pipeline.py:460-479``) — MLP
 biases are owned by the separate bias optimizer when one is configured.
 """
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

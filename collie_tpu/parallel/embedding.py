@@ -15,8 +15,6 @@ Communication is ``O(batch x dim)`` (the activations), never
 ``O(table)``.  The backward of the masked local gather is a local
 scatter-add, so gradients shard identically to the table.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

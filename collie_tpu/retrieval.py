@@ -18,7 +18,7 @@ the production-serving counterpart the TPU rebuild adds:
   and merged — communication is ``O(devices * k)`` per user, independent of
   catalog size.
 """
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

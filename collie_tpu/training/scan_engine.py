@@ -16,7 +16,7 @@ stage-gated optimizer updates, same padded-and-masked final batch; only the
 negative-sampling RNG stream differs from the host sampler (both are seeded
 and deterministic).
 """
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -34,8 +34,7 @@ embedding tables / optimizer moments over the ``model`` axis; XLA GSPMD
 inserts the ICI collectives.
 """
 import time
-import warnings
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

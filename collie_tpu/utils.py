@@ -9,9 +9,7 @@ never sees it.
 """
 import datetime
 import inspect
-import os
 import time
-import warnings
 from pathlib import Path
 from typing import Any, Dict, Iterable, Optional, Tuple, Union
 
