@@ -38,12 +38,22 @@ def generate_interactions_df(num_users: int = 943,
     user_act = rng.permutation(user_act)
     user_act /= user_act.sum()
 
-    # oversample, then dedup (keep first) down to the requested count
-    n_draw = int(num_interactions * 1.6)
-    users = rng.choice(num_users, size=n_draw, p=user_act)
-    items = rng.choice(num_items, size=n_draw, p=item_pop)
-    keys = users.astype(np.int64) * num_items + items
-    _, first_idx = np.unique(keys, return_index=True)
+    # oversample, then dedup (keep first) down to the requested count; at high
+    # densities the skewed marginals collide a lot, so grow the draw until the
+    # unique count suffices
+    users = np.empty(0, dtype=np.int64)
+    items = np.empty(0, dtype=np.int64)
+    oversample = 1.6
+    for _ in range(8):
+        n_draw = int(num_interactions * oversample)
+        users = rng.choice(num_users, size=n_draw, p=user_act)
+        items = rng.choice(num_items, size=n_draw, p=item_pop)
+        keys = users.astype(np.int64) * num_items + items
+        _, first_idx = np.unique(keys, return_index=True)
+        if len(first_idx) >= num_interactions or \
+                n_draw >= 20 * num_interactions:
+            break
+        oversample *= 2
     first_idx.sort()
     users, items = users[first_idx], items[first_idx]
 

@@ -287,3 +287,54 @@ def test_model_usable_after_nan_abort(implicit_train):
     # params are live and usable for inference
     scores = model(np.array([0, 1]), np.array([0, 1]))
     assert scores.shape == (2,)
+
+
+def test_evaluate_in_batches_logger_and_custom_metric(implicit_test, trained_mf_model,
+                                                      capsys):
+    """Logger integration (reference metrics.py:524-543) and the generic
+    per-batch fallback for custom metric callables."""
+    logged = {}
+
+    class Logger:
+        def log_metrics(self, metrics, step):
+            logged.update(metrics)
+            logged['step'] = step
+
+    score = evaluate_in_batches([mapk, mrr], implicit_test, trained_mf_model,
+                                logger=Logger(), verbose=True)
+    out = capsys.readouterr().out
+    assert 'Logging metrics' in out
+    assert logged['mapk'] == pytest.approx(score[0])
+    assert logged['step'] == trained_mf_model.hparams['num_epochs_completed']
+
+    # custom callable metric forces the per-batch path; csr signature like the
+    # reference's metric contract
+    def hit_rate(targets, user_ids, preds, k):
+        top = np.asarray(preds).argsort(axis=1)[:, ::-1][:, :k]
+        hits = [(targets[u, list(row)].toarray() > 0).any()
+                for u, row in zip(user_ids, top)]
+        return float(np.mean(hits))
+
+    hr = evaluate_in_batches([hit_rate], implicit_test, trained_mf_model,
+                             verbose=False)
+    assert 0.0 <= hr <= 1.0
+
+
+def test_fused_and_per_batch_eval_agree(implicit_test, trained_mf_model):
+    """The fused rank-based fast path and the generic per-batch path must
+    produce the same scores."""
+    fused = evaluate_in_batches([mapk, mrr, auc], implicit_test, trained_mf_model,
+                                verbose=False)
+
+    def mapk_cb(**kw):
+        return mapk(**kw)
+
+    def mrr_cb(**kw):
+        return mrr(**kw)
+
+    def auc_cb(**kw):
+        return auc(**kw)
+
+    per_batch = evaluate_in_batches([mapk_cb, mrr_cb, auc_cb], implicit_test,
+                                    trained_mf_model, verbose=False)
+    np.testing.assert_allclose(fused, per_batch, rtol=1e-4, atol=1e-5)
