@@ -365,6 +365,31 @@ class BasePipeline:
 
     # ------------------------------------------------------------- inference
 
+    def eval(self) -> 'BasePipeline':
+        """API parity with the reference's ``model.eval()`` idiom
+        (``README.md:66``): inference here is always deterministic
+        (dropout only runs inside the training step), so this is a no-op."""
+        return self
+
+    def train(self, mode: bool = True) -> 'BasePipeline':
+        """API parity with ``torch.nn.Module.train``; training mode is a
+        property of the jitted train step, not the model object."""
+        return self
+
+    def to(self, device=None) -> 'BasePipeline':
+        """API parity with ``model.to(device)``; jax manages placement
+        (sharded placement comes from the trainer's ``mesh``)."""
+        return self
+
+    @property
+    def device(self):
+        """Device of the model parameters (first shard when sharded)."""
+        for value in self.params.values():
+            devices = getattr(value, 'devices', None)
+            if callable(devices):
+                return next(iter(devices()))
+        return None
+
     def forward(self,
                 users: Union[np.ndarray, Iterable[int]],
                 items: Union[np.ndarray, Iterable[int]]) -> np.ndarray:

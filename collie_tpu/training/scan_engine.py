@@ -42,7 +42,8 @@ def loader_is_scannable(loader) -> bool:
 
 def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                          shuffle: bool, mesh=None,
-                         training: bool = True
+                         training: bool = True,
+                         dedup_rounds: int = 1
                          ) -> Tuple[Callable, int, int]:
     """Compile an epoch function over ``loader``'s data.
 
@@ -110,7 +111,8 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
             batches['pos_items'] = _constrain(cols[idx].reshape(S, B))
             if exact:
                 negs = complement_sample_negatives_impl(
-                    sample_rng, users_flat, indptr, shifted_cols, num_items, K)
+                    sample_rng, users_flat, indptr, shifted_cols, num_items, K,
+                    dedup_rounds=dedup_rounds)
             else:
                 negs = jax.random.randint(sample_rng, (S * B, K), 0, num_items,
                                           dtype=jnp.int32)

@@ -65,6 +65,7 @@ class CollieTrainer:
                  epoch_mode: str = 'auto',
                  checkpoint_dir: Optional[str] = None,
                  checkpoint_every_n_epochs: int = 1,
+                 exact_sampling_dedup_rounds: int = 1,
                  seed: Optional[int] = None):
         if model is not None and getattr(model, 'val_loader', None) is None and verbosity > 0:
             # reference auto-disables the sanity val check when no val data
@@ -87,6 +88,10 @@ class CollieTrainer:
         self.num_epochs_completed = 0
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every_n_epochs = checkpoint_every_n_epochs
+        # quality/speed knob for on-device exact sampling: 1 (default, the
+        # calibrated-gate configuration) de-duplicates within-row draws once;
+        # 0 skips it for ~26% higher train throughput at ~0.6% MAP@10
+        self.exact_sampling_dedup_rounds = exact_sampling_dedup_rounds
         self._pending_resume = None
         # throughput accounting for benchmarks
         self.last_fit_examples_per_sec: Optional[float] = None
@@ -157,12 +162,14 @@ class CollieTrainer:
         mesh_key = id(self.mesh) if self.mesh is not None else None
         if use_scan_train:
             self._device_put_loss_metadata(model)
-            key = ('train', stage, mesh_key, id(model.train_loader))
+            key = ('train', stage, mesh_key, id(model.train_loader),
+                   self.exact_sampling_dedup_rounds)
             if key not in cache:
                 cache[key] = build_scan_epoch_fns(
                     model, specs, active, model.train_loader,
                     shuffle=getattr(model.train_loader, 'shuffle', True),
-                    mesh=self.mesh, training=True)
+                    mesh=self.mesh, training=True,
+                    dedup_rounds=self.exact_sampling_dedup_rounds)
             train_epoch_fn, _, scan_examples = cache[key]
         if use_scan_val:
             self._device_put_loss_metadata(model)

@@ -338,3 +338,20 @@ def test_fused_and_per_batch_eval_agree(implicit_test, trained_mf_model):
     per_batch = evaluate_in_batches([mapk_cb, mrr_cb, auc_cb], implicit_test,
                                     trained_mf_model, verbose=False)
     np.testing.assert_allclose(fused, per_batch, rtol=1e-4, atol=1e-5)
+
+
+def test_api_parity_shims(trained_mf_model):
+    """Reference idioms: model.eval(), model.train(), model.to(device)."""
+    assert trained_mf_model.eval() is trained_mf_model
+    assert trained_mf_model.train() is trained_mf_model
+    assert trained_mf_model.to('anything') is trained_mf_model
+    assert trained_mf_model.device is not None
+
+
+def test_dedup_rounds_knob_trains(implicit_train):
+    model = MatrixFactorizationModel(train=implicit_train, embedding_dim=4,
+                                     loss='adaptive', seed=0)
+    trainer = CollieTrainer(model, max_epochs=1, verbosity=0, seed=0,
+                            exact_sampling_dedup_rounds=0)
+    trainer.fit(model)
+    assert model.hparams['num_epochs_completed'] == 1
