@@ -110,8 +110,9 @@ def _fused_evaluate(metric_list, test_users, targets, model, k: int,
         return None
     U = len(test_users)
     num_items = model.hparams['num_items']
-    if batch_size * num_items > _FUSED_EVAL_MAX_ELEMENTS:
-        return None  # a single score block would exceed the HBM cap
+    # shrink the user block so the [block, num_items] score buffer stays under
+    # the HBM cap — the fused path then works at any catalog size
+    batch_size = max(1, min(batch_size, _FUSED_EVAL_MAX_ELEMENTS // num_items))
 
     S = -(-U // batch_size)
     pad = S * batch_size - U

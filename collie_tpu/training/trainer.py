@@ -332,6 +332,7 @@ class CollieTrainer:
                     if self.verbosity > 0:
                         print(f'  lr[{specs[i].name}] -> {max(current * factor, min_lr):.2e}')
             opt_states = tuple(new_states)
+            state_box['opt_states'] = opt_states
 
             if (self.checkpoint_dir is not None
                     and epoch % self.checkpoint_every_n_epochs == 0):
