@@ -1,0 +1,57 @@
+"""Serving-scale retrieval (TPU-native; no reference counterpart).
+
+Builds a 500k-item MF model and times three retrieval paths:
+full materialize+sort (what the reference's ``get_item_predictions`` amounts
+to), blockwise scan top-k, and the fused Pallas kernel.
+
+Run on TPU:  python examples/09_retrieval_at_scale.py
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    rng = np.random.default_rng(0)
+    B, D, I, k = 64, 64, 500_000, 10
+    user_emb = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    user_bias = jnp.asarray(rng.standard_normal(B).astype(np.float32))
+    item_emb = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
+    item_bias = jnp.asarray(rng.standard_normal(I).astype(np.float32))
+
+    def timeit(label, fn, reps=10):
+        out = fn()
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+            times.append(time.perf_counter() - t0)
+        print(f'{label:<28} {np.median(times) * 1e3:8.2f} ms '
+              f'({B * I / np.median(times) / 1e9:.1f} G scores/s)')
+        return out
+
+    # 1. naive: materialize [B, I] and full top_k (reference-style)
+    naive = jax.jit(lambda: jax.lax.top_k(
+        user_emb @ item_emb.T + user_bias[:, None] + item_bias[None, :], k))
+    naive_scores, naive_ids = timeit('materialize + top_k', naive)
+
+    # 2. fused Pallas kernel
+    from collie_tpu.ops.pallas.retrieval_kernel import mf_topk_retrieve
+    pallas = lambda: mf_topk_retrieve(user_emb, user_bias, item_emb, item_bias,  # noqa: E731
+                                      k=k, tile=4096)
+    pallas_ids, pallas_scores = timeit('pallas fused tile top-k', pallas)
+
+    agree = (np.asarray(pallas_ids) == np.asarray(naive_ids)).mean()
+    print(f'id agreement pallas vs naive: {agree:.4f}')
+
+
+if __name__ == '__main__':
+    main()
