@@ -41,9 +41,12 @@ def _topk_tile_kernel(user_emb_ref, item_tile_ref,
 
     # MXU: [B, D+] x [D+, T] score block. The item bias rides along as an
     # extra embedding column (user side is the constant 1), so a single
-    # matmul produces the fully-biased scores.
+    # matmul produces the fully-biased scores.  HIGHEST precision keeps the
+    # scores (and hence the top-k boundary) identical to the non-kernel
+    # scoring paths.
     scores = jnp.dot(user_emb_ref[:], item_tile_ref[:].T,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
     # mask catalog-padding columns
     col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
