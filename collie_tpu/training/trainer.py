@@ -74,7 +74,8 @@ class CollieTrainer:
         self.max_epochs = max_epochs
         self.benchmark = benchmark
         self.deterministic = deterministic
-        self.logger = logger
+        # Lightning idiom ``logger=False`` (reference run.py:60) means no logger
+        self.logger = logger or None
         self.early_stopping_patience = early_stopping_patience
         self.log_every_n_steps = log_every_n_steps
         self.terminate_on_nan = terminate_on_nan

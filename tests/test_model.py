@@ -355,3 +355,12 @@ def test_dedup_rounds_knob_trains(implicit_train):
                             exact_sampling_dedup_rounds=0)
     trainer.fit(model)
     assert model.hparams['num_epochs_completed'] == 1
+
+
+def test_logger_false_is_accepted(implicit_train):
+    """The reference CLI passes ``logger=False`` (Lightning idiom); it must
+    mean "no logging", not an object to call."""
+    model = MatrixFactorizationModel(train=implicit_train, embedding_dim=4, seed=0)
+    trainer = CollieTrainer(model, max_epochs=1, verbosity=0, logger=False)
+    trainer.fit(model)
+    assert model.hparams['num_epochs_completed'] == 1
