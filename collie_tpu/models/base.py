@@ -49,6 +49,21 @@ INTERACTIONS_LIKE_INPUT = Union[BaseInteractions, InteractionsDataLoader, None]
 enable_compilation_cache()
 
 
+class HParams(dict):
+    """Hyperparameter dict with attribute access, matching the reference's
+    Lightning-style ``model.hparams.num_epochs_completed`` idiom
+    (``base_pipeline.py:529``) alongside ``model.hparams['...']``."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as err:
+            raise AttributeError(name) from err
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+
 class BasePipeline:
     """Abstract recommender pipeline.  Subclasses MUST implement
     ``_build_params`` and ``score``; ``_get_item_embeddings`` /
@@ -118,7 +133,7 @@ class BasePipeline:
         self.metadata_for_loss = _as_array_dict(metadata_for_loss)
         self.metadata_for_loss_weights = metadata_for_loss_weights
 
-        self.hparams: Dict[str, Any] = {}
+        self.hparams: Dict[str, Any] = HParams()
         self.params: Dict[str, jnp.ndarray] = {}
 
         if load_model_path is not None:

@@ -364,3 +364,14 @@ def test_logger_false_is_accepted(implicit_train):
     trainer = CollieTrainer(model, max_epochs=1, verbosity=0, logger=False)
     trainer.fit(model)
     assert model.hparams['num_epochs_completed'] == 1
+
+
+def test_hparams_attribute_access(trained_mf_model):
+    """Reference idiom: model.hparams.num_epochs_completed (Lightning-style)."""
+    assert trained_mf_model.hparams.num_epochs_completed == \
+        trained_mf_model.hparams['num_epochs_completed']
+    assert trained_mf_model.hparams.embedding_dim == 10
+    trained_mf_model.hparams.custom_field = 7
+    assert trained_mf_model.hparams['custom_field'] == 7
+    with pytest.raises(AttributeError):
+        _ = trained_mf_model.hparams.does_not_exist

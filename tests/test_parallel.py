@@ -72,3 +72,16 @@ def test_sharded_matches_single_device_numerics(mesh, implicit_train):
             np.asarray(model_a.params[key]), np.asarray(model_b.params[key]),
             rtol=1e-4, atol=1e-5,
             err_msg=f'divergence in {key}')
+
+
+def test_sharded_training_with_validation_loader(mesh, implicit_sets):
+    """mesh + scan train + scan val together."""
+    train, test = implicit_sets
+    model = _make_model(train, lr=1e-2)
+    model.val_loader = None  # rebuild with val below
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+    model = MatrixFactorizationModel(train=train, val=test, embedding_dim=8, seed=0,
+                                     lr=1e-2)
+    trainer = CollieTrainer(model, max_epochs=2, verbosity=0, mesh=mesh, seed=0)
+    trainer.fit(model)
+    assert model.hparams['num_epochs_completed'] == 2
