@@ -240,3 +240,29 @@ def test_prefetch_loader_trains_hdf5(tmp_path):
     trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=0)
     trainer.fit(model)
     assert model.hparams['num_epochs_completed'] == 2
+
+
+def test_head_and_tail(interactions):
+    head = interactions.head(2)
+    assert head.shape == (2, 4)
+    np.testing.assert_array_equal(head, interactions.toarray()[:2])
+    tail = interactions.tail(1)
+    np.testing.assert_array_equal(tail, interactions.toarray()[-1:])
+    # negative / oversized n handling (reference datasets.py:188-193)
+    assert interactions.head(-1).shape[0] == 2
+    assert interactions.head(100).shape[0] == 3
+
+
+def test_interactions_from_dense_matrix():
+    dense = np.array([[1, 0, 2], [0, 3, 0]])
+    inter = ExplicitInteractions(mat=dense)
+    assert inter.num_users == 2
+    assert inter.num_items == 3
+    assert inter.num_interactions == 3
+    np.testing.assert_array_equal(inter.toarray(), dense)
+
+
+def test_interactions_len_and_minmax(interactions):
+    assert len(interactions) == 8
+    assert interactions.min_rating == 1
+    assert interactions.max_rating == 5
