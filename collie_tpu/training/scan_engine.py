@@ -64,19 +64,26 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         n_used = n
     pad = S * B - n_used
 
-    rows = jnp.asarray(inter.mat.row.astype(np.int32))
-    cols = jnp.asarray(inter.mat.col.astype(np.int32))
-    ratings = jnp.asarray(inter.mat.data.astype(np.float32)) if explicit else None
-    if not explicit:
+    # epoch data is passed to the jitted epoch fn as ARGUMENTS (bundled in
+    # ``data``), never captured by closure: closure-captured device arrays
+    # become embedded HLO constants, which bloats compiles (megabytes of
+    # constants for large datasets) and defeats the persistent compile cache
+    data = {
+        'rows': jnp.asarray(inter.mat.row.astype(np.int32)),
+        'cols': jnp.asarray(inter.mat.col.astype(np.int32)),
+        'mask_flat': jnp.concatenate([
+            jnp.ones(n_used, dtype=jnp.float32), jnp.zeros(pad, dtype=jnp.float32)]),
+    }
+    if explicit:
+        data['ratings'] = jnp.asarray(inter.mat.data.astype(np.float32))
+    else:
         exact = inter.exact_negative_sampling
         K = inter.num_negative_samples
         num_items = inter.num_items
         if exact:
             indptr_np, shifted_np = build_complement_tables(inter.mat)
-            indptr = jnp.asarray(indptr_np)
-            shifted_cols = jnp.asarray(shifted_np)
-    mask_flat = jnp.concatenate([
-        jnp.ones(n_used, dtype=jnp.float32), jnp.zeros(pad, dtype=jnp.float32)])
+            data['indptr'] = jnp.asarray(indptr_np)
+            data['shifted_cols'] = jnp.asarray(shifted_np)
 
     data_spec = None
     if mesh is not None:
@@ -91,7 +98,7 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         from jax.sharding import NamedSharding
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, data_spec))
 
-    def _epoch_batches(perm_rng, sample_rng):
+    def _epoch_batches(data, perm_rng, sample_rng):
         """Materialize the whole epoch on device: shuffled [S, B] id blocks
         plus (for implicit data) all negatives pre-sampled in one fused pass."""
         if shuffle:
@@ -99,20 +106,20 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         else:
             perm = jnp.arange(n_used)
         idx = jnp.concatenate([perm, perm[:1].repeat(pad)]) if pad else perm
-        users_flat = rows[idx]
+        users_flat = data['rows'][idx]
         batches = {
             'users': _constrain(users_flat.reshape(S, B)),
-            'mask': _constrain(mask_flat.reshape(S, B)),
+            'mask': _constrain(data['mask_flat'].reshape(S, B)),
         }
         if explicit:
-            batches['items'] = _constrain(cols[idx].reshape(S, B))
-            batches['ratings'] = _constrain(ratings[idx].reshape(S, B))
+            batches['items'] = _constrain(data['cols'][idx].reshape(S, B))
+            batches['ratings'] = _constrain(data['ratings'][idx].reshape(S, B))
         else:
-            batches['pos_items'] = _constrain(cols[idx].reshape(S, B))
+            batches['pos_items'] = _constrain(data['cols'][idx].reshape(S, B))
             if exact:
                 negs = complement_sample_negatives_impl(
-                    sample_rng, users_flat, indptr, shifted_cols, num_items, K,
-                    dedup_rounds=dedup_rounds)
+                    sample_rng, users_flat, data['indptr'], data['shifted_cols'],
+                    num_items, K, dedup_rounds=dedup_rounds)
             else:
                 negs = jax.random.randint(sample_rng, (S * B, K), 0, num_items,
                                           dtype=jnp.int32)
@@ -126,10 +133,10 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         return batches
 
     if training:
-        def epoch_fn(params, opt_states, base_rng, epoch_idx):
+        def epoch_fn(params, opt_states, data, base_rng, epoch_idx):
             rng = jax.random.fold_in(base_rng, epoch_idx)
             perm_rng, sample_rng, dropout_rng = jax.random.split(rng, 3)
-            batches = _epoch_batches(perm_rng, sample_rng)
+            batches = _epoch_batches(data, perm_rng, sample_rng)
 
             def step(carry, batch):
                 params, opt_states, step_i = carry
@@ -156,10 +163,10 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
 
         jitted = jax.jit(epoch_fn, donate_argnums=(0, 1))
     else:
-        def epoch_fn(params, base_rng, epoch_idx):
+        def epoch_fn(params, data, base_rng, epoch_idx):
             rng = jax.random.fold_in(base_rng, epoch_idx)
             perm_rng, sample_rng = jax.random.split(rng)
-            batches = _epoch_batches(perm_rng, sample_rng)
+            batches = _epoch_batches(data, perm_rng, sample_rng)
 
             def step(_, batch):
                 return None, model.calculate_loss(params, batch, rng=None,
@@ -170,4 +177,4 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
 
         jitted = jax.jit(epoch_fn)
 
-    return jitted, S, n_used
+    return jitted, data, S, n_used

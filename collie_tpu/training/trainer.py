@@ -171,7 +171,7 @@ class CollieTrainer:
                     shuffle=getattr(model.train_loader, 'shuffle', True),
                     mesh=self.mesh, training=True,
                     dedup_rounds=self.exact_sampling_dedup_rounds)
-            train_epoch_fn, _, scan_examples = cache[key]
+            train_epoch_fn, train_epoch_data, _, scan_examples = cache[key]
         if use_scan_val:
             self._device_put_loss_metadata(model)
             key = ('val', stage, mesh_key, id(model.val_loader))
@@ -179,7 +179,7 @@ class CollieTrainer:
                 cache[key] = build_scan_epoch_fns(
                     model, specs, active, model.val_loader, shuffle=False,
                     mesh=self.mesh, training=False)
-            val_epoch_fn, _, _ = cache[key]
+            val_epoch_fn, val_epoch_data, _, _ = cache[key]
         if not use_scan_train or (model.val_loader is not None and not use_scan_val):
             key = ('steps', stage, mesh_key)
             if key not in cache:
@@ -236,6 +236,8 @@ class CollieTrainer:
                 monitor_val=monitor_val, start_epoch=start_epoch,
                 use_scan_train=use_scan_train, use_scan_val=use_scan_val,
                 train_epoch_fn=train_epoch_fn, val_epoch_fn=val_epoch_fn,
+                train_epoch_data=train_epoch_data if use_scan_train else None,
+                val_epoch_data=val_epoch_data if use_scan_val else None,
                 train_step=train_step, val_step=val_step,
                 shard_batch=shard_batch, base_rng=base_rng,
                 state_box=(state_box := {'params': params,
@@ -254,6 +256,7 @@ class CollieTrainer:
 
     def _run_epochs(self, *, model, specs, schedulers, monitor_val, start_epoch,
                     use_scan_train, use_scan_val, train_epoch_fn, val_epoch_fn,
+                    train_epoch_data, val_epoch_data,
                     train_step, val_step, shard_batch, base_rng, state_box,
                     scan_examples):
         params = state_box['params']
@@ -267,7 +270,7 @@ class CollieTrainer:
                 # one dispatch for the whole epoch: on-device shuffle,
                 # negative sampling, and scan over every optimizer step
                 params, opt_states, epoch_loss = train_epoch_fn(
-                    params, opt_states, base_rng, np.int32(epoch))
+                    params, opt_states, train_epoch_data, base_rng, np.int32(epoch))
                 train_loss = float(epoch_loss)
                 total_examples += scan_examples
             else:
@@ -296,7 +299,8 @@ class CollieTrainer:
             val_loss = None
             if model.val_loader is not None:
                 if use_scan_val:
-                    val_loss = float(val_epoch_fn(params, base_rng, np.int32(epoch)))
+                    val_loss = float(val_epoch_fn(params, val_epoch_data,
+                                                  base_rng, np.int32(epoch)))
                 else:
                     val_losses = [
                         val_step(params, shard_batch(batch)) for batch in model.val_loader
