@@ -125,7 +125,10 @@ def _fused_evaluate(metric_list, test_users, targets, model, k: int,
     cache = getattr(model, '_compiled_fn_cache', None)
     if cache is None:
         cache = model._compiled_fn_cache = {}
-    key = ('fused_eval', k, batch_size, S, D, num_items)
+    # key carries the model's stage: Hybrid/ColdStart ``score()`` branches on
+    # hparams['stage'] at trace time, so a function traced in one stage is
+    # silently wrong in another (CLAUDE.md cache-invalidation invariant)
+    key = ('fused_eval', model.current_stage, k, batch_size, S, D, num_items)
 
     if key not in cache:
         def eval_fn(params, users_blocks, pos_blocks, pos_mask_blocks, mask_blocks):

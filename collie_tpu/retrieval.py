@@ -11,14 +11,18 @@ the production-serving counterpart the TPU rebuild adds:
   which is what makes 10M+-item catalogs feasible;
 * **seen filtering on device**: membership against the train/val CSR via
   segmented binary search (``pairs_in_csr``) masks interacted items to -inf
-  inside the same fused program;
+  inside the same fused program.  The CSR arrays are jit *arguments* (the same
+  discipline as the scan engine's epoch data), so retrieval always filters by
+  the caller's current seen set — never a stale closure capture;
 * **item-sharded** (the sequence-parallel analog for this workload, SURVEY
-  §2.8): under a mesh, each device scores its local shard of the catalog and
-  computes a local top-k; the k-sized candidates are all-gathered over ICI
-  and merged — communication is ``O(devices * k)`` per user, independent of
-  catalog size.
+  §2.8): under a mesh, each device holds only its local shard of the item
+  table(s) (``P('model', None)`` in_specs — per-device memory is
+  ``num_items / n_shards`` rows, so catalogs larger than one chip's HBM fit),
+  scores its shard of the catalog, and computes a local top-k; the k-sized
+  candidates are all-gathered over ICI and merged — communication is
+  ``O(devices * k)`` per user, independent of catalog size.
 """
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,46 +43,38 @@ def _merge_topk(top_scores, top_ids, tile_scores, tile_ids, k: int):
 
 def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
                        filter_seen: bool = False,
-                       seen_csr=None,
                        mesh=None):
-    """Compile ``(params, user_ids[B]) -> (top_ids[B, k], top_scores[B, k])``.
+    """Compile ``(params, user_ids[B], seen) -> (top_ids[B, k], top_scores[B, k])``.
 
-    ``seen_csr``: scipy CSR of interactions to exclude (train and/or val).
-    ``mesh``: shard the item axis over the mesh's ``model`` axis.
+    ``seen``: ``(indptr, cols)`` device arrays of the CSR of interactions to
+    exclude (train and/or val), or ``None`` when ``filter_seen`` is off.
+    ``mesh``: shard the item axis (and the item-indexed params) over the
+    mesh's ``model`` axis.
     """
     num_items = model.hparams['num_items']
-    if filter_seen:
-        assert seen_csr is not None, 'filter_seen requires ``seen_csr``'
-        csr = seen_csr.tocsr()
-        csr.sort_indices()
-        indptr = jnp.asarray(csr.indptr.astype(np.int32))
-        cols = jnp.asarray(csr.indices.astype(np.int32))
 
-    def _local_topk(params, user_ids, start: int, stop: int):
+    def _seen_mask(seen, user_ids, item_ids):
+        indptr, cols = seen
+        return pairs_in_csr(indptr, cols, user_ids[:, None],
+                            jnp.minimum(item_ids, num_items - 1)[None, :])
+
+    def _local_topk(params, user_ids, seen, start, stop, n_tiles: int):
         """Blockwise top-k over the item range [start, stop)."""
-        span = stop - start
-        n_tiles = -(-span // item_tile)
-
         B = user_ids.shape[0]
         init = (jnp.full((B, k), NEG_INF), jnp.zeros((B, k), jnp.int32))
 
         def tile_step(carry, tile_idx):
             top_scores, top_ids = carry
             tile_start = start + tile_idx * item_tile
-            scores, ids = _score_range_dyn(params, user_ids, tile_start)
-            return _merge_topk(top_scores, top_ids, scores, ids, k), None
-
-        def _score_range_dyn(params, user_ids, tile_start):
             item_ids = tile_start + jnp.arange(item_tile, dtype=jnp.int32)
             scores = model.score_item_block(
                 params, user_ids, jnp.minimum(item_ids, num_items - 1))
             valid = (item_ids < stop) & (item_ids < num_items)
             if filter_seen:
-                seen = pairs_in_csr(indptr, cols, user_ids[:, None],
-                                    jnp.minimum(item_ids, num_items - 1)[None, :])
-                valid = valid[None, :] & ~seen
+                valid = valid[None, :] & ~_seen_mask(seen, user_ids, item_ids)
             scores = jnp.where(valid, scores, NEG_INF)
-            return scores, jnp.broadcast_to(item_ids[None, :], (B, item_tile))
+            ids = jnp.broadcast_to(item_ids[None, :], (B, item_tile))
+            return _merge_topk(top_scores, top_ids, scores, ids, k), None
 
         (top_scores, top_ids), _ = jax.lax.scan(
             tile_step, init, jnp.arange(n_tiles, dtype=jnp.int32))
@@ -89,63 +85,88 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
         if pallas_fn is not None:
             return pallas_fn
 
-        def retrieve(params, user_ids):
-            top_scores, top_ids = _local_topk(params, user_ids, 0, num_items)
+        n_tiles = -(-num_items // item_tile)
+
+        def retrieve(params, user_ids, seen=None):
+            top_scores, top_ids = _local_topk(
+                params, user_ids, seen, 0, num_items, n_tiles)
             return top_ids, top_scores
 
         return jax.jit(retrieve)
 
-    # item-sharded retrieval: shard_map over the mesh's model axis
+    return _build_sharded_retrieval(model, k, item_tile, filter_seen,
+                                    mesh, _local_topk)
+
+
+def _build_sharded_retrieval(model, k, item_tile, filter_seen, mesh, _local_topk):
+    """Item-sharded retrieval: ``shard_map`` over the mesh's ``model`` axis.
+
+    Item-indexed params (leading dim == num_items, divisible by the axis)
+    enter row-sharded — each device's working set is its table shard only.
+    Inside the shard body the local shard is re-addressed with *global* item
+    ids by padding it back to full length with zeros outside the local range:
+    ``score_item_block`` then works unchanged, and out-of-range items score
+    into tiles that the range mask discards anyway.
+    """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
     from collie_tpu.parallel.mesh import MODEL_AXIS
 
+    num_items = model.hparams['num_items']
     n_shards = mesh.shape[MODEL_AXIS]
     shard_span = -(-num_items // n_shards)
+    n_tiles = -(-shard_span // item_tile)
 
-    def retrieve(params, user_ids):
-        def shard_body(params, user_ids):
+    def _item_sharded(name, value):
+        return (value.ndim >= 1 and value.shape[0] == num_items
+                and num_items % n_shards == 0)
+
+    param_names = sorted(model.params.keys())
+    specs = {
+        name: (P(MODEL_AXIS, *([None] * (model.params[name].ndim - 1)))
+               if _item_sharded(name, model.params[name]) else P())
+        for name in param_names
+    }
+    rows_per_shard = num_items // n_shards if num_items % n_shards == 0 else None
+
+    def retrieve(params, user_ids, seen=None):
+        def shard_body(params, user_ids, seen):
             shard_idx = jax.lax.axis_index(MODEL_AXIS)
             start = shard_idx * shard_span
-            # local top-k over this shard's item range (params replicated here;
-            # the fully sharded-table variant would gather only the local rows)
-            top_scores, top_ids = _local_topk_dynamic(params, user_ids, start)
-            # all-gather the k-candidates over ICI, merge locally
-            all_scores = jax.lax.all_gather(top_scores, MODEL_AXIS, axis=1, tiled=True)
+            if rows_per_shard is not None:
+                # re-inflate each local table shard to global addressing:
+                # rows outside [start, start+rows) are zero and masked out
+                local_start = shard_idx * rows_per_shard
+                full = {}
+                for name in param_names:
+                    value = params[name]
+                    if specs[name] != P():
+                        pad_before = [(0, 0)] * value.ndim
+                        # dynamic pad is not available; roll a zeros canvas
+                        canvas = jnp.zeros((num_items,) + value.shape[1:],
+                                           value.dtype)
+                        full[name] = jax.lax.dynamic_update_slice(
+                            canvas, value,
+                            (local_start,) + (0,) * (value.ndim - 1))
+                    else:
+                        full[name] = value
+                params = full
+            top_scores, top_ids = _local_topk(
+                params, user_ids, seen, start,
+                jnp.minimum(start + shard_span, num_items), n_tiles)
+            all_scores = jax.lax.all_gather(top_scores, MODEL_AXIS, axis=1,
+                                            tiled=True)
             all_ids = jax.lax.all_gather(top_ids, MODEL_AXIS, axis=1, tiled=True)
             merged_scores, idx = jax.lax.top_k(all_scores, k)
             return jnp.take_along_axis(all_ids, idx, axis=1), merged_scores
 
-        def _local_topk_dynamic(params, user_ids, start):
-            n_tiles = -(-shard_span // item_tile)
-            B = user_ids.shape[0]
-            init = (jnp.full((B, k), NEG_INF), jnp.zeros((B, k), jnp.int32))
-
-            def tile_step(carry, tile_idx):
-                top_scores, top_ids = carry
-                tile_start = start + tile_idx * item_tile
-                item_ids = tile_start + jnp.arange(item_tile, dtype=jnp.int32)
-                scores = model.score_item_block(
-                    params, user_ids, jnp.minimum(item_ids, num_items - 1))
-                valid = (item_ids < start + shard_span) & (item_ids < num_items)
-                if filter_seen:
-                    seen = pairs_in_csr(indptr, cols, user_ids[:, None],
-                                        jnp.minimum(item_ids, num_items - 1)[None, :])
-                    valid = valid[None, :] & ~seen
-                scores = jnp.where(valid, scores, NEG_INF)
-                ids = jnp.broadcast_to(item_ids[None, :], (B, item_tile))
-                return _merge_topk(top_scores, top_ids, scores, ids, k), None
-
-            (ts, ti), _ = jax.lax.scan(tile_step, init,
-                                       jnp.arange(n_tiles, dtype=jnp.int32))
-            return ts, ti
-
+        seen_spec = None if seen is None else (P(), P())
         return shard_map(
             shard_body, mesh=mesh,
-            in_specs=(P(), P()),
+            in_specs=(specs, P(), seen_spec),
             out_specs=(P(), P()),
             check_vma=False,
-        )(params, user_ids)
+        )(params, user_ids, seen)
 
     return jax.jit(retrieve)
 
@@ -169,7 +190,7 @@ def _maybe_pallas_retrieve(model, k: int, item_tile: int, filter_seen: bool):
     interpret = jax.default_backend() != 'tpu'
     y_range = model.hparams.get('y_range')
 
-    def retrieve(params, user_ids):
+    def retrieve(params, user_ids, seen=None):
         user_emb = params['user_embeddings'][user_ids]
         user_bias = params['user_biases'][user_ids]
         top_ids, top_scores = mf_topk_retrieve(
@@ -181,6 +202,17 @@ def _maybe_pallas_retrieve(model, k: int, item_tile: int, filter_seen: bool):
         return top_ids, top_scores
 
     return jax.jit(retrieve)
+
+
+def _seen_arrays(model) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Current train(+val) interactions as sorted-CSR device arrays."""
+    seen_csr = model.train_loader.mat.tocsr()
+    if model.val_loader is not None:
+        seen_csr = seen_csr + model.val_loader.mat.tocsr()
+    seen_csr = seen_csr.tocsr()
+    seen_csr.sort_indices()
+    return (jnp.asarray(seen_csr.indptr.astype(np.int32)),
+            jnp.asarray(seen_csr.indices.astype(np.int32)))
 
 
 def recommend(model,
@@ -195,23 +227,22 @@ def recommend(model,
     excludes items present in the model's train (and val, if any) loaders,
     matching ``get_item_predictions(unseen_items_only=True)`` semantics
     (reference ``base_pipeline.py:705-718``) but batched and fully on device.
+    The seen set is re-read from the loaders on every call (it is a jit
+    argument, not a compile-time constant), so swapping loaders or training on
+    more data is reflected immediately; a changed nnz changes the argument
+    shape and recompiles, identical data re-runs the cached program.
     """
-    seen_csr = None
-    if filter_seen:
-        seen_csr = model.train_loader.mat.tocsr()
-        if model.val_loader is not None:
-            seen_csr = seen_csr + model.val_loader.mat.tocsr()
+    seen = _seen_arrays(model) if filter_seen else None
 
     cache = getattr(model, '_compiled_fn_cache', None)
     if cache is None:
         cache = model._compiled_fn_cache = {}
-    key = ('retrieval', k, item_tile, filter_seen,
+    key = ('retrieval', model.current_stage, k, item_tile, filter_seen,
            id(mesh) if mesh is not None else None)
     if key not in cache:
         cache[key] = build_retrieval_fn(model, k=k, item_tile=item_tile,
-                                        filter_seen=filter_seen,
-                                        seen_csr=seen_csr, mesh=mesh)
+                                        filter_seen=filter_seen, mesh=mesh)
     retrieve = cache[key]
     user_ids = jnp.asarray(np.asarray(user_ids, dtype=np.int32))
-    top_ids, top_scores = retrieve(model.params, user_ids)
+    top_ids, top_scores = retrieve(model.params, user_ids, seen)
     return np.asarray(top_ids), np.asarray(top_scores)

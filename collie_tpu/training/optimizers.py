@@ -106,6 +106,35 @@ def set_lr(opt_state, new_lr: float):
     return opt_state._replace(hyperparams=hp_new)
 
 
+def match_lr_aval(opt_state, reference_opt_state):
+    """Rebuild the injected learning-rate leaf to carry ``reference``'s aval.
+
+    Checkpoint restore converts every optimizer-state leaf through numpy,
+    which can change the lr scalar's dtype/weak_type; an aval mismatch with
+    the compiled epoch program silently retraces (and recompiles, 30-90 s) on
+    the first post-resume fit.  ``reference_opt_state`` is a freshly
+    initialized state of the same transform — the lr value comes from
+    ``opt_state``, the aval from the reference.  States without injected
+    hyperparams (custom factories) pass through untouched.
+    """
+    import jax.numpy as jnp
+
+    try:
+        hp = _find_hyperparams(opt_state)
+        ref = _find_hyperparams(reference_opt_state)
+    except ValueError:
+        return opt_state
+    ref_lr = jnp.asarray(ref['learning_rate'])
+    value = float(jnp.asarray(hp['learning_rate']))
+    if ref_lr.weak_type:
+        new = jnp.asarray(value)
+    else:
+        new = jnp.asarray(value, dtype=ref_lr.dtype)
+    hp_new = dict(hp)
+    hp_new['learning_rate'] = new
+    return opt_state._replace(hyperparams=hp_new)
+
+
 def _find_hyperparams(opt_state):
     if hasattr(opt_state, 'hyperparams'):
         return opt_state.hyperparams

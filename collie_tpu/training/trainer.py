@@ -161,25 +161,29 @@ class CollieTrainer:
         if cache is None:
             cache = model._compiled_fn_cache = {}
         mesh_key = id(self.mesh) if self.mesh is not None else None
+        # scan-engine entries store the loader object itself and verify
+        # identity on reuse (id() alone can be recycled by the allocator,
+        # which would silently train on a stale snapshot of epoch data)
         if use_scan_train:
             self._device_put_loss_metadata(model)
-            key = ('train', stage, mesh_key, id(model.train_loader),
-                   self.exact_sampling_dedup_rounds)
-            if key not in cache:
-                cache[key] = build_scan_epoch_fns(
+            key = ('train', stage, mesh_key, self.exact_sampling_dedup_rounds)
+            entry = cache.get(key)
+            if entry is None or entry[0] is not model.train_loader:
+                cache[key] = entry = (model.train_loader, build_scan_epoch_fns(
                     model, specs, active, model.train_loader,
                     shuffle=getattr(model.train_loader, 'shuffle', True),
                     mesh=self.mesh, training=True,
-                    dedup_rounds=self.exact_sampling_dedup_rounds)
-            train_epoch_fn, train_epoch_data, _, scan_examples = cache[key]
+                    dedup_rounds=self.exact_sampling_dedup_rounds))
+            train_epoch_fn, train_epoch_data, _, scan_examples = entry[1]
         if use_scan_val:
             self._device_put_loss_metadata(model)
-            key = ('val', stage, mesh_key, id(model.val_loader))
-            if key not in cache:
-                cache[key] = build_scan_epoch_fns(
+            key = ('val', stage, mesh_key)
+            entry = cache.get(key)
+            if entry is None or entry[0] is not model.val_loader:
+                cache[key] = entry = (model.val_loader, build_scan_epoch_fns(
                     model, specs, active, model.val_loader, shuffle=False,
-                    mesh=self.mesh, training=False)
-            val_epoch_fn, val_epoch_data, _, _ = cache[key]
+                    mesh=self.mesh, training=False))
+            val_epoch_fn, val_epoch_data, _, _ = entry[1]
         if not use_scan_train or (model.val_loader is not None and not use_scan_val):
             key = ('steps', stage, mesh_key)
             if key not in cache:
@@ -214,9 +218,17 @@ class CollieTrainer:
             ckpt = self._pending_resume
             self._pending_resume = None
             params = {k: jnp.asarray(v) for k, v in ckpt['params'].items()}
+            from collie_tpu.training.optimizers import match_lr_aval
+            fresh_states = opt_states  # canonical avals from the jitted init
             opt_states = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
                 ckpt['opt_states'])
+            # the generic array conversion can change the lr leaf's aval
+            # (dtype/weak_type), which would force a full-epoch-program
+            # recompile on the first post-resume fit
+            opt_states = tuple(
+                match_lr_aval(restored, fresh)
+                for restored, fresh in zip(opt_states, fresh_states))
             schedulers = ckpt['schedulers']
             model.hparams['num_epochs_completed'] = ckpt['epoch']
             self.global_step = ckpt['global_step']

@@ -94,9 +94,15 @@ def convert_to_implicit(df: pd.DataFrame,
                         user_col: str = 'user_id',
                         item_col: str = 'item_id',
                         ratings_col: str = 'rating') -> pd.DataFrame:
-    """Explicit -> implicit: keep-last dedup, drop sub-threshold ratings, set rating to 1
-    (reference: ``utils.py:128-165``)."""
-    df = df.drop_duplicates(subset=[user_col, item_col], keep='last').copy()
+    """Explicit -> implicit: keep-max-rating dedup, drop sub-threshold ratings,
+    set rating to 1 (reference: ``utils.py:128-165``).
+
+    Duplicate (user, item) pairs keep the *highest* rating: the reference sorts
+    by rating before the keep-last dedup (``utils.py:157-161``), so a pair that
+    was ever rated above the threshold survives the conversion.
+    """
+    df = (df.sort_values(by=ratings_col, kind='stable')
+            .drop_duplicates(subset=[user_col, item_col], keep='last').copy())
     df = df[df[ratings_col] >= min_rating_to_keep]
     df.loc[:, ratings_col] = 1
     return df.reset_index(drop=True)

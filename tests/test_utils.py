@@ -60,6 +60,23 @@ def test_convert_to_implicit_dedup_keeps_last():
     assert len(implicit) == 1
 
 
+def test_convert_to_implicit_dedup_keeps_max_rating():
+    """Duplicate (user, item) pairs keep the highest rating — the reference
+    sorts by rating before the keep-last dedup (``utils.py:157-161``), so a
+    pair ever rated above threshold survives regardless of row order."""
+    df = pd.DataFrame({
+        'user_id': [0, 0, 1, 1, 2],
+        'item_id': [1, 1, 2, 2, 3],
+        # the *earlier* occurrence is the high rating: keep-last-without-sort
+        # would wrongly drop pairs (0,1) and (1,2)
+        'rating': [5, 2, 4, 1, 3],
+    })
+    implicit = convert_to_implicit(df, min_rating_to_keep=4)
+    pairs = set(zip(implicit['user_id'], implicit['item_id']))
+    assert pairs == {(0, 1), (1, 2)}
+    assert (implicit['rating'] == 1).all()
+
+
 def test_remove_users_with_fewer_than_n_interactions(df):
     filtered = remove_users_with_fewer_than_n_interactions(df, min_num_of_interactions=3)
     assert set(filtered['user_id']) == {0, 1}
