@@ -40,6 +40,7 @@ def evaluate_in_batches(
     batch_size: int = 128,
     logger: Optional[Any] = None,
     verbose: bool = True,
+    mesh: Optional[Any] = None,
 ) -> Union[float, List[float]]:
     """Implicit evaluation driver (reference ``metrics.py:285-395``).
 
@@ -47,6 +48,14 @@ def evaluate_in_batches(
     metric, weighting batch scores by user count.  ``batch_size`` defaults
     higher than the reference's 20 — a user batch is one matmul here, and
     batches are padded to a single shape so XLA compiles once.
+
+    ``mesh``: evaluate across a device mesh (the SP analog, SURVEY §2.8) —
+    users are sharded over the ``data`` axis and the catalog over the
+    ``model`` axis; each device scores its item shard and the per-positive
+    rank counts are ``psum``-merged over ICI, so values match the
+    single-device evaluator exactly.  Requires built-in metrics
+    (``mapk``/``mrr``/``auc``); custom callables fall back to the
+    single-device per-batch path.
     """
     if not isinstance(test_interactions, Interactions):
         raise ValueError(
@@ -59,7 +68,8 @@ def evaluate_in_batches(
     if len(test_users) < batch_size:
         batch_size = len(test_users)
 
-    fused = _fused_evaluate(metric_list, test_users, targets, model, k, batch_size)
+    fused = _fused_evaluate(metric_list, test_users, targets, model, k,
+                            batch_size, mesh)
     if fused is not None:
         all_scores = fused
         if logger is not None:
@@ -91,16 +101,22 @@ def evaluate_in_batches(
 
 
 def _fused_evaluate(metric_list, test_users, targets, model, k: int,
-                    batch_size: int) -> Optional[List[float]]:
+                    batch_size: int, mesh=None) -> Optional[List[float]]:
     """Whole-evaluation-in-one-dispatch fast path.
 
     When every requested metric is one of the built-in ranking metrics, one
     jitted program scans user blocks — ``score_all_items`` (an MXU matmul for
-    factorization models) + the rank-based metric kernel — accumulating
+    factorization models) + the rank-count metric kernel — accumulating
     per-user sums on device.  The host uploads only each user's padded
     positive-item list (``[users, max_test_degree]``), never a dense
     ``[users, num_items]`` relevance matrix, so upload cost is independent of
     catalog size.  One host sync per evaluation.
+
+    Under a ``mesh`` the same program runs in ``shard_map``: users shard over
+    the ``data`` axis, the catalog over the ``model`` axis; each device
+    scores its item span and the additive rank counts (and each positive's
+    own score) are ``psum``-merged over ICI — per-user communication is
+    ``O(max_test_degree)``, independent of catalog size.
 
     Returns None (falling back to the per-batch path) for custom metric
     callables.
@@ -113,6 +129,10 @@ def _fused_evaluate(metric_list, test_users, targets, model, k: int,
     # shrink the user block so the [block, num_items] score buffer stays under
     # the HBM cap — the fused path then works at any catalog size
     batch_size = max(1, min(batch_size, _FUSED_EVAL_MAX_ELEMENTS // num_items))
+    if mesh is not None:
+        from collie_tpu.parallel.mesh import DATA_AXIS
+        n_data = mesh.shape[DATA_AXIS]
+        batch_size = max(n_data, (batch_size // n_data) * n_data)
 
     S = -(-U // batch_size)
     pad = S * batch_size - U
@@ -128,21 +148,26 @@ def _fused_evaluate(metric_list, test_users, targets, model, k: int,
     # key carries the model's stage: Hybrid/ColdStart ``score()`` branches on
     # hparams['stage'] at trace time, so a function traced in one stage is
     # silently wrong in another (CLAUDE.md cache-invalidation invariant)
-    key = ('fused_eval', model.current_stage, k, batch_size, S, D, num_items)
+    key = ('fused_eval', model.current_stage, k, batch_size, S, D, num_items,
+           id(mesh) if mesh is not None else None)
 
     if key not in cache:
-        def eval_fn(params, users_blocks, pos_blocks, pos_mask_blocks, mask_blocks):
-            def block(carry, xs):
-                users, pos_b, pos_mask_b, mask = xs
-                scores = model.score_all_items(params, users)
-                per_user = metrics_lib.metrics_from_positive_ranks(
-                    scores, pos_b, pos_mask_b, k)           # [3, B]
-                return carry + (per_user * mask[None, :]).sum(axis=1), None
+        if mesh is None:
+            def eval_fn(params, users_blocks, pos_blocks, pos_mask_blocks,
+                        mask_blocks):
+                def block(carry, xs):
+                    users, pos_b, pos_mask_b, mask = xs
+                    scores = model.score_all_items(params, users)
+                    per_user = metrics_lib.metrics_from_positive_ranks(
+                        scores, pos_b, pos_mask_b, k)           # [3, B]
+                    return carry + (per_user * mask[None, :]).sum(axis=1), None
 
-            totals, _ = jax.lax.scan(
-                block, jnp.zeros(3),
-                (users_blocks, pos_blocks, pos_mask_blocks, mask_blocks))
-            return totals
+                totals, _ = jax.lax.scan(
+                    block, jnp.zeros(3),
+                    (users_blocks, pos_blocks, pos_mask_blocks, mask_blocks))
+                return totals
+        else:
+            eval_fn = _build_sharded_eval_fn(model, k, num_items, mesh)
 
         cache[key] = jax.jit(eval_fn)
 
@@ -154,6 +179,65 @@ def _fused_evaluate(metric_list, test_users, targets, model, k: int,
         jnp.asarray(user_mask.reshape(S, batch_size)),
     ))
     return [float(totals[metric_row[m]]) / U for m in metric_list]
+
+
+def _build_sharded_eval_fn(model, k: int, num_items: int, mesh):
+    """Item- and user-sharded fused evaluation program (SP analog).
+
+    Each device holds one (data, model) tile: a slice of the user blocks and
+    an item span.  Per scan step it scores ``[B/n_data, span]``, reads its
+    span's contribution to each positive's score, and psum-merges the rank
+    counts over the ``model`` axis; per-user metric sums psum over ``data``
+    at the end.  Values are bit-identical to the single-device evaluator
+    (verified in tests/test_parallel.py) because the counts are exact
+    integers merged exactly.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from collie_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    n_model = mesh.shape[MODEL_AXIS]
+    span = -(-num_items // n_model)
+    neg_inf = jnp.finfo(jnp.float32).min
+
+    def sharded_body(params, users_blocks, pos_blocks, pos_mask_blocks,
+                     mask_blocks):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        start = shard * span
+        item_ids = start + jnp.arange(span, dtype=jnp.int32)
+        valid_items = item_ids < num_items
+
+        def block(carry, xs):
+            users, pos_b, pos_mask_b, mask = xs
+            scores = model.score_item_block(
+                params, users, jnp.minimum(item_ids, num_items - 1))
+            scores = jnp.where(valid_items[None, :], scores, neg_inf)
+            pos_scores = jax.lax.psum(
+                metrics_lib.positive_scores_in_block(scores, pos_b, start),
+                MODEL_AXIS)
+            greater, eq_after = metrics_lib.rank_counts_in_block(
+                scores, pos_scores, pos_b, start)
+            greater = jax.lax.psum(greater, MODEL_AXIS)
+            eq_after = jax.lax.psum(eq_after, MODEL_AXIS)
+            per_user = metrics_lib.metrics_from_rank_counts(
+                greater, eq_after, pos_mask_b, k, num_items)     # [3, B_local]
+            return carry + (per_user * mask[None, :]).sum(axis=1), None
+
+        totals, _ = jax.lax.scan(
+            block, jnp.zeros(3),
+            (users_blocks, pos_blocks, pos_mask_blocks, mask_blocks))
+        return jax.lax.psum(totals, DATA_AXIS)
+
+    def eval_fn(params, users_blocks, pos_blocks, pos_mask_blocks, mask_blocks):
+        return shard_map(
+            sharded_body, mesh=mesh,
+            in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS, None),
+                      P(None, DATA_AXIS, None), P(None, DATA_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )(params, users_blocks, pos_blocks, pos_mask_blocks, mask_blocks)
+
+    return eval_fn
 
 
 def explicit_evaluate_in_batches(

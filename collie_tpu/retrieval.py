@@ -101,59 +101,86 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
 def _build_sharded_retrieval(model, k, item_tile, filter_seen, mesh, _local_topk):
     """Item-sharded retrieval: ``shard_map`` over the mesh's ``model`` axis.
 
-    Item-indexed params (leading dim == num_items, divisible by the axis)
-    enter row-sharded — each device's working set is its table shard only.
-    Inside the shard body the local shard is re-addressed with *global* item
-    ids by padding it back to full length with zeros outside the local range:
-    ``score_item_block`` then works unchanged, and out-of-range items score
-    into tiles that the range mask discards anyway.
+    Two tiers:
+
+    * **local-table tier** (``MatrixFactorizationModel``, catalog divisible by
+      the axis): the item embedding/bias tables enter the shard body
+      row-sharded (``P('model', None)`` in_specs) and every tile is scored
+      directly from the *local* shard with local row indices — per-device
+      table memory is ``num_items / n_shards`` rows, so catalogs larger than
+      one chip's HBM fit (the actual promise of item sharding);
+    * **replicated tier** (any other model): params stay replicated and each
+      device scores its global item range — compute scales, memory does not.
+
+    Either way each device computes a local top-k, the ``O(devices * k)``
+    candidates all-gather over ICI, and the final top-k merges locally.
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
     from collie_tpu.parallel.mesh import MODEL_AXIS
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
 
     num_items = model.hparams['num_items']
     n_shards = mesh.shape[MODEL_AXIS]
-    shard_span = -(-num_items // n_shards)
+    local_tables = (type(model) is MatrixFactorizationModel
+                    and num_items % n_shards == 0)
+    shard_span = num_items // n_shards if local_tables \
+        else -(-num_items // n_shards)
     n_tiles = -(-shard_span // item_tile)
-
-    def _item_sharded(name, value):
-        return (value.ndim >= 1 and value.shape[0] == num_items
-                and num_items % n_shards == 0)
 
     param_names = sorted(model.params.keys())
     specs = {
         name: (P(MODEL_AXIS, *([None] * (model.params[name].ndim - 1)))
-               if _item_sharded(name, model.params[name]) else P())
+               if local_tables and name.startswith('item') else P())
         for name in param_names
     }
-    rows_per_shard = num_items // n_shards if num_items % n_shards == 0 else None
+
+    def _seen_mask(seen, user_ids, item_ids):
+        indptr, cols = seen
+        return pairs_in_csr(indptr, cols, user_ids[:, None],
+                            jnp.minimum(item_ids, num_items - 1)[None, :])
+
+    def _local_topk_from_shard(params, user_ids, seen, start):
+        """Blockwise top-k scoring straight off the local table shard."""
+        user_emb = params['user_embeddings'][user_ids]
+        user_bias = params['user_biases'][user_ids]
+        B = user_ids.shape[0]
+        init = (jnp.full((B, k), NEG_INF), jnp.zeros((B, k), jnp.int32))
+
+        def tile_step(carry, tile_idx):
+            top_scores, top_ids = carry
+            local_ids = tile_idx * item_tile + jnp.arange(item_tile,
+                                                          dtype=jnp.int32)
+            safe = jnp.minimum(local_ids, shard_span - 1)
+            item_emb = params['item_embeddings'][safe]          # local gather
+            scores = (jnp.matmul(user_emb, item_emb.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+                      + user_bias[:, None]
+                      + params['item_biases'][safe][None, :])
+            scores = model._apply_y_range(scores)
+            global_ids = start + local_ids
+            valid = local_ids < shard_span
+            if filter_seen:
+                valid = valid[None, :] & ~_seen_mask(seen, user_ids, global_ids)
+            scores = jnp.where(valid, scores, NEG_INF)
+            ids = jnp.broadcast_to(global_ids[None, :], (B, item_tile))
+            return _merge_topk(top_scores, top_ids, scores, ids, k), None
+
+        (top_scores, top_ids), _ = jax.lax.scan(
+            tile_step, init, jnp.arange(n_tiles, dtype=jnp.int32))
+        return top_scores, top_ids
 
     def retrieve(params, user_ids, seen=None):
         def shard_body(params, user_ids, seen):
             shard_idx = jax.lax.axis_index(MODEL_AXIS)
             start = shard_idx * shard_span
-            if rows_per_shard is not None:
-                # re-inflate each local table shard to global addressing:
-                # rows outside [start, start+rows) are zero and masked out
-                local_start = shard_idx * rows_per_shard
-                full = {}
-                for name in param_names:
-                    value = params[name]
-                    if specs[name] != P():
-                        pad_before = [(0, 0)] * value.ndim
-                        # dynamic pad is not available; roll a zeros canvas
-                        canvas = jnp.zeros((num_items,) + value.shape[1:],
-                                           value.dtype)
-                        full[name] = jax.lax.dynamic_update_slice(
-                            canvas, value,
-                            (local_start,) + (0,) * (value.ndim - 1))
-                    else:
-                        full[name] = value
-                params = full
-            top_scores, top_ids = _local_topk(
-                params, user_ids, seen, start,
-                jnp.minimum(start + shard_span, num_items), n_tiles)
+            if local_tables:
+                top_scores, top_ids = _local_topk_from_shard(
+                    params, user_ids, seen, start)
+            else:
+                top_scores, top_ids = _local_topk(
+                    params, user_ids, seen, start,
+                    jnp.minimum(start + shard_span, num_items), n_tiles)
             all_scores = jax.lax.all_gather(top_scores, MODEL_AXIS, axis=1,
                                             tiled=True)
             all_ids = jax.lax.all_gather(top_ids, MODEL_AXIS, axis=1, tiled=True)

@@ -148,3 +148,74 @@ def test_metrics_from_positive_ranks_toy_values(targets, implicit_predicted_scor
     assert_almost_equal(float(ap.mean()), 0.7685185, decimal=5)
     assert_almost_equal(float(rr.mean()), 0.8333333, decimal=5)
     assert_almost_equal(float(auc_v.mean()), 0.5277777, decimal=5)
+
+
+def test_rank_counts_reproduce_argsort_ties(rng):
+    """Comparison-count ranks must reproduce a stable ascending argsort's
+    tie-break exactly — ties resolve by ascending column index."""
+    from collie_tpu.ops.metrics import (metrics_from_positive_ranks,
+                                        padded_positives)
+    from scipy.sparse import csr_matrix
+
+    U, I, k = 6, 40, 5
+    # heavy ties: scores quantized to 4 levels
+    scores = (rng.integers(0, 4, (U, I))).astype(np.float32)
+    relevance = (rng.random((U, I)) < 0.2).astype(np.float32)
+    relevance[:, 0] = 1.0
+    targets = csr_matrix(relevance)
+    pos, mask = padded_positives(targets, np.arange(U))
+
+    # reference: stable ascending argsort -> per-item asc rank
+    order = np.argsort(scores, axis=1, kind='stable')
+    asc = np.empty_like(order)
+    for u in range(U):
+        asc[u, order[u]] = np.arange(1, I + 1)
+    pos_asc = np.take_along_axis(asc, pos, axis=1).astype(np.float64)
+    pos_desc = I + 1 - pos_asc
+
+    from collie_tpu.ops.metrics import (positive_scores_in_block,
+                                        rank_counts_in_block)
+    pos_scores = positive_scores_in_block(scores, pos)
+    greater, eq_after = rank_counts_in_block(scores, pos_scores, pos)
+    np.testing.assert_array_equal(np.asarray(greater + eq_after + 1.0) * mask,
+                                  pos_desc * mask)
+    np.testing.assert_array_equal(np.asarray(I - greater - eq_after) * mask,
+                                  pos_asc * mask)
+    # full metric kernel stays finite and bounded under ties
+    ap, rr, auc_v = np.asarray(metrics_from_positive_ranks(scores, pos, mask, k))
+    assert np.isfinite([ap, rr, auc_v]).all()
+
+
+def test_rank_counts_additive_over_item_blocks(rng):
+    """Counts summed over a partition of the catalog equal whole-catalog
+    counts — the property the mesh evaluator's psum-merge relies on."""
+    from collie_tpu.ops.metrics import (padded_positives,
+                                        positive_scores_in_block,
+                                        rank_counts_in_block)
+    from scipy.sparse import csr_matrix
+
+    U, I = 5, 37
+    scores = rng.standard_normal((U, I)).astype(np.float32)
+    scores[:, :12] = scores[:, 12:24]  # some ties across block boundaries
+    relevance = (rng.random((U, I)) < 0.25).astype(np.float32)
+    relevance[:, 0] = 1.0
+    targets = csr_matrix(relevance)
+    pos, mask = padded_positives(targets, np.arange(U))
+
+    whole_ps = positive_scores_in_block(scores, pos)
+    g_whole, ea_whole = rank_counts_in_block(scores, whole_ps, pos)
+
+    splits = [0, 11, 24, I]
+    ps_sum = np.zeros_like(np.asarray(whole_ps))
+    for a, b in zip(splits[:-1], splits[1:]):
+        ps_sum += np.asarray(positive_scores_in_block(scores[:, a:b], pos, a))
+    np.testing.assert_allclose(ps_sum, np.asarray(whole_ps), rtol=1e-6)
+
+    g_sum = np.zeros_like(ps_sum)
+    ea_sum = np.zeros_like(ps_sum)
+    for a, b in zip(splits[:-1], splits[1:]):
+        g, ea = rank_counts_in_block(scores[:, a:b], ps_sum, pos, a)
+        g_sum += np.asarray(g)
+        ea_sum += np.asarray(ea)
+    np.testing.assert_array_equal(g_sum, np.asarray(g_whole))
+    np.testing.assert_array_equal(ea_sum, np.asarray(ea_whole))

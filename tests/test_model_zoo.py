@@ -1,73 +1,278 @@
-"""Model-zoo matrix: every architecture trains one epoch, predicts, computes
-similarities, and round-trips save/load — the analog of the reference's
-31-way parametrized model matrix (``/root/reference/tests/fixtures/model_fixtures.py:120-509``,
+"""Model-zoo matrix: every architecture x loader x option variant trains,
+predicts, computes similarities, and round-trips save/load — mirroring the
+reference's 31-way implicit + 7-way explicit parametrized matrices
+(``/root/reference/tests/fixtures/model_fixtures.py:120-688``,
 ``tests/test_model.py:1679-1754``)."""
 import numpy as np
 import pytest
 
+from collie_tpu.data import (ApproximateNegativeSamplingInteractionsDataLoader,
+                             HDF5InteractionsDataLoader, InteractionsDataLoader)
 from collie_tpu.evaluate import evaluate_in_batches
-from collie_tpu.models import (CollaborativeMetricLearningModel, DeepFM,
+from collie_tpu.models import (ColdStartModel, CollaborativeMetricLearningModel,
+                               DeepFM, HybridModel, HybridPretrainedModel,
                                MatrixFactorizationModel, MLPMatrixFactorizationModel,
                                NeuralCollaborativeFiltering,
                                NonlinearMatrixFactorizationModel)
 from collie_tpu.ops import auc
 from collie_tpu.training.trainer import CollieTrainer
 
-from tests.fixtures.model_fixtures import implicit_sets, implicit_train  # noqa: F401
-
-ZOO = [
-    pytest.param(MatrixFactorizationModel, {}, id='mf'),
-    pytest.param(MatrixFactorizationModel, {'dropout_p': 0.2}, id='mf_dropout'),
-    pytest.param(MatrixFactorizationModel, {'y_range': (0, 4)}, id='mf_y_range'),
-    pytest.param(MatrixFactorizationModel, {'sparse': True, 'optimizer': 'sparse_adam'},
-                 id='mf_sparse_adam'),
-    pytest.param(MatrixFactorizationModel, {'bias_optimizer': None}, id='mf_single_opt'),
-    pytest.param(MatrixFactorizationModel, {'optimizer': 'adagrad'}, id='mf_adagrad'),
-    pytest.param(MatrixFactorizationModel, {'loss': 'bpr'}, id='mf_bpr'),
-    pytest.param(MatrixFactorizationModel, {'loss': 'warp'}, id='mf_warp'),
-    pytest.param(MLPMatrixFactorizationModel, {}, id='mlp_mf'),
-    pytest.param(MLPMatrixFactorizationModel, {'num_layers': 2, 'dropout_p': 0.1},
-                 id='mlp_mf_2layer'),
-    pytest.param(NonlinearMatrixFactorizationModel, {}, id='nonlinear_mf'),
-    pytest.param(NonlinearMatrixFactorizationModel,
-                 {'user_dense_layers_dims': [16], 'item_dense_layers_dims': [16],
-                  'embedding_dropout_p': 0.1, 'dense_dropout_p': 0.1},
-                 id='nonlinear_mf_dropout'),
-    pytest.param(NeuralCollaborativeFiltering, {}, id='ncf'),
-    pytest.param(NeuralCollaborativeFiltering, {'final_layer': 'sigmoid'},
-                 id='ncf_sigmoid'),
-    pytest.param(NeuralCollaborativeFiltering, {'final_layer': 'relu'}, id='ncf_relu'),
-    pytest.param(NeuralCollaborativeFiltering, {'final_layer': 'leaky_relu'},
-                 id='ncf_leaky'),
-    pytest.param(DeepFM, {}, id='deep_fm'),
-    pytest.param(DeepFM, {'final_layer': 'sigmoid'}, id='deep_fm_sigmoid'),
-    pytest.param(CollaborativeMetricLearningModel, {}, id='cml'),
-]
+from tests.fixtures.model_fixtures import (explicit_sets, implicit_sets,  # noqa: F401
+                                           implicit_train)
 
 
-@pytest.mark.parametrize('model_cls,model_kwargs', ZOO)
-def test_zoo_model_trains_and_predicts(model_cls, model_kwargs, implicit_train, tmp_path):
-    model = model_cls(train=implicit_train, lr=1e-2, seed=0, **model_kwargs)
+@pytest.fixture(scope='module')
+def zoo_ctx(implicit_sets, explicit_sets, tmp_path_factory):
+    """Shared context for the matrix: data, metadata, buckets, a donor MF,
+    and an HDF5 copy of the training interactions."""
+    from collie_tpu.data.synthetic import generate_interactions_df
+    from collie_tpu.utils import pandas_df_to_hdf5
+    from collie_tpu.data import write_hdf5_meta
+    import pandas as pd
+
+    train, test = implicit_sets
+    ex_train, ex_test = explicit_sets
+    rng = np.random.default_rng(7)
+    num_items = train.num_items
+    num_users = train.num_users
+
+    genres = rng.integers(0, 6, num_items)
+    item_metadata = np.eye(6, dtype=np.float32)[genres]
+    user_metadata = rng.random((num_users, 4)).astype(np.float32)
+    buckets = rng.integers(0, 12, num_items)
+    buckets[0] = 0
+
+    donor = MatrixFactorizationModel(train=train, embedding_dim=30, lr=1e-2,
+                                     seed=0)
+    CollieTrainer(donor, max_epochs=1, verbosity=0, seed=0).fit(donor)
+
+    hdf5_path = str(tmp_path_factory.mktemp('zoo') / 'train.h5')
+    df = pd.DataFrame({'user_id': train.mat.row, 'item_id': train.mat.col,
+                       'rating': train.mat.data})
+    pandas_df_to_hdf5(df, hdf5_path)
+    write_hdf5_meta(hdf5_path, num_users=num_users, num_items=num_items)
+
+    return {
+        'train': train, 'test': test,
+        'ex_train': ex_train, 'ex_test': ex_test,
+        'item_metadata': item_metadata, 'user_metadata': user_metadata,
+        'metadata_for_loss': {'genre': genres.astype(np.int64)},
+        'metadata_for_loss_weights': {'genre': 0.25},
+        'buckets': buckets, 'donor': donor, 'hdf5_path': hdf5_path,
+    }
+
+
+def _mf(ctx, **kw):
+    kw.setdefault('embedding_dim', 10)
+    kw.setdefault('lr', 1e-2)
+    kw.setdefault('seed', 0)
+    train = kw.pop('train', ctx['train'])
+    return MatrixFactorizationModel(train=train, **kw)
+
+
+def _hybrid(ctx, **kw):
+    kw.setdefault('embedding_dim', 10)
+    kw.setdefault('lr', 1e-2)
+    kw.setdefault('seed', 0)
+    kw.setdefault('item_metadata', ctx['item_metadata'])
+    return HybridModel(train=ctx['train'], **kw)
+
+
+def _hybrid_pre(ctx, **kw):
+    kw.setdefault('lr', 1e-2)
+    kw.setdefault('seed', 0)
+    kw.setdefault('item_metadata', ctx['item_metadata'])
+    kw.setdefault('trained_model', ctx['donor'])
+    return HybridPretrainedModel(train=ctx['train'], **kw)
+
+
+def _cold_start(ctx, **kw):
+    kw.setdefault('embedding_dim', 10)
+    kw.setdefault('seed', 0)
+    kw.setdefault('item_buckets', ctx['buckets'])
+    return ColdStartModel(train=ctx['train'], **kw)
+
+
+# Reference implicit matrix (``model_fixtures.py:120-509``) with collie_tpu
+# analogs; each entry: id -> (builder, num_stage_advances, supports save/load
+# via single-file round-trip).
+IMPLICIT_ZOO = {
+    'mf': lambda ctx: _mf(ctx),
+    'mf_hdf5': lambda ctx: _mf(ctx, train=HDF5InteractionsDataLoader(
+        hdf5_path=ctx['hdf5_path'], batch_size=1024, shuffle=True,
+        num_negative_samples=10, seed=0)),
+    'mf_with_y_range': lambda ctx: _mf(ctx, y_range=(0, 4)),
+    'mf_non_approximate': lambda ctx: _mf(ctx, train=InteractionsDataLoader(
+        interactions=ctx['train'], batch_size=1024, shuffle=True, seed=0)),
+    'mf_approximate': lambda ctx: _mf(
+        ctx, train=ApproximateNegativeSamplingInteractionsDataLoader(
+            interactions=ctx['train'], batch_size=1024, shuffle=True, seed=0)),
+    'mf_no_val': lambda ctx: _mf(ctx),  # reference distinguishes val presence
+    'mf_with_val': lambda ctx: _mf(ctx, val=ctx['test']),
+    'sparse_mf': lambda ctx: _mf(ctx, sparse=True, optimizer='sparse_adam',
+                                 bias_optimizer='sgd', loss='hinge'),
+    'mf_dropout': lambda ctx: _mf(ctx, dropout_p=0.2),
+    'mf_single_opt': lambda ctx: _mf(ctx, bias_optimizer=None),
+    'mf_adagrad': lambda ctx: _mf(ctx, optimizer='adagrad'),
+    'mf_bpr': lambda ctx: _mf(ctx, loss='bpr'),
+    'mf_warp': lambda ctx: _mf(ctx, loss='warp'),
+    'collaborative_metric_learning': lambda ctx: CollaborativeMetricLearningModel(
+        train=ctx['train'], embedding_dim=10, lr=1e-2, seed=0),
+    'sparse_collaborative_metric_learning': lambda ctx: CollaborativeMetricLearningModel(
+        train=ctx['train'], embedding_dim=10, lr=1e-2, seed=0, sparse=True,
+        optimizer='sparse_adam'),
+    'mlp_mf': lambda ctx: MLPMatrixFactorizationModel(
+        train=ctx['train'], embedding_dim=10, lr=1e-2, seed=0),
+    'mlp_mf_with_y_range': lambda ctx: MLPMatrixFactorizationModel(
+        train=ctx['train'], embedding_dim=10, lr=1e-2, seed=0, y_range=(0, 4)),
+    'nonlinear_mf': lambda ctx: NonlinearMatrixFactorizationModel(
+        train=ctx['train'], lr=1e-2, seed=0),
+    'nonlinear_mf_with_y_range': lambda ctx: NonlinearMatrixFactorizationModel(
+        train=ctx['train'], lr=1e-2, seed=0, y_range=(0, 4)),
+    'neucf': lambda ctx: NeuralCollaborativeFiltering(
+        train=ctx['train'], lr=1e-2, seed=0),
+    'neucf_sigmoid': lambda ctx: NeuralCollaborativeFiltering(
+        train=ctx['train'], lr=1e-2, seed=0, final_layer='sigmoid'),
+    'neucf_relu': lambda ctx: NeuralCollaborativeFiltering(
+        train=ctx['train'], lr=1e-2, seed=0, final_layer='relu'),
+    'neucf_leaky_relu': lambda ctx: NeuralCollaborativeFiltering(
+        train=ctx['train'], lr=1e-2, seed=0, final_layer='leaky_relu'),
+    'neucf_custom': lambda ctx: NeuralCollaborativeFiltering(
+        train=ctx['train'], lr=1e-2, seed=0, final_layer=_tanh),
+    'deep_fm': lambda ctx: DeepFM(train=ctx['train'], lr=1e-2, seed=0),
+    'deep_fm_sigmoid': lambda ctx: DeepFM(train=ctx['train'], lr=1e-2, seed=0,
+                                          final_layer='sigmoid'),
+    'deep_fm_relu': lambda ctx: DeepFM(train=ctx['train'], lr=1e-2, seed=0,
+                                       final_layer='relu'),
+    'deep_fm_leaky_relu': lambda ctx: DeepFM(train=ctx['train'], lr=1e-2, seed=0,
+                                             final_layer='leaky_relu'),
+    'deep_fm_custom': lambda ctx: DeepFM(train=ctx['train'], lr=1e-2, seed=0,
+                                         final_layer=_tanh),
+    'hybrid_pretrained': lambda ctx: _hybrid_pre(ctx),
+    'hybrid_pretrained_metadata_layers': lambda ctx: _hybrid_pre(
+        ctx, item_metadata_layers_dims=[8]),
+    'hybrid_pretrained_unfrozen': lambda ctx: _hybrid_pre(
+        ctx, freeze_embeddings=False),
+    'hybrid_mf': lambda ctx: _hybrid(ctx),
+    'hybrid_mf_metadata_layers': lambda ctx: _hybrid(
+        ctx, item_metadata_layers_dims=[8], user_metadata=ctx['user_metadata'],
+        user_metadata_layers_dims=[4]),
+    'hybrid_mf_metadata_for_loss': lambda ctx: _hybrid(
+        ctx, metadata_for_loss=ctx['metadata_for_loss'],
+        metadata_for_loss_weights=ctx['metadata_for_loss_weights']),
+    'hybrid_mf_no_bias_optimizer': lambda ctx: _hybrid(ctx, bias_optimizer=None),
+    'cold_start': lambda ctx: _cold_start(ctx),
+    'cold_start_metadata_for_loss': lambda ctx: _cold_start(
+        ctx, metadata_for_loss=ctx['metadata_for_loss'],
+        metadata_for_loss_weights=ctx['metadata_for_loss_weights']),
+}
+
+# multi-stage entries additionally train through every stage transition
+PROGRESSION_IDS = {
+    'hybrid_mf': 2, 'hybrid_mf_metadata_layers': 2,
+    'hybrid_mf_metadata_for_loss': 2, 'hybrid_mf_no_bias_optimizer': 2,
+    'cold_start': 1, 'cold_start_metadata_for_loss': 1,
+}
+
+# multi-file / multi-stage persistence is covered in test_multi_stage.py;
+# callable final layers are function-valued hparams (not serialized, as the
+# reference documents for non-picklable ctor args)
+NO_ROUNDTRIP = {
+    'mf_hdf5',  # loader not reconstructable from the .npz alone
+    'neucf_custom', 'deep_fm_custom',
+    'hybrid_pretrained', 'hybrid_pretrained_metadata_layers',
+    'hybrid_pretrained_unfrozen', 'hybrid_mf', 'hybrid_mf_metadata_layers',
+    'hybrid_mf_metadata_for_loss', 'hybrid_mf_no_bias_optimizer',
+    'cold_start', 'cold_start_metadata_for_loss',
+}
+
+
+def _tanh(x):
+    import jax.numpy as jnp
+    return jnp.tanh(x)
+
+
+@pytest.mark.parametrize('variant', sorted(IMPLICIT_ZOO))
+def test_implicit_zoo_variant(variant, zoo_ctx, tmp_path):
+    model = IMPLICIT_ZOO[variant](zoo_ctx)
     trainer = CollieTrainer(model, max_epochs=1, verbosity=0, seed=0)
     trainer.fit(model)
-    assert model.hparams['num_epochs_completed'] == 1
+    expected_epochs = 1
+    for _ in range(PROGRESSION_IDS.get(variant, 0)):
+        model.advance_stage()
+        trainer.max_epochs += 1
+        trainer.fit(model)
+        expected_epochs += 1
+    assert model.hparams['num_epochs_completed'] == expected_epochs
 
-    preds = model.get_item_predictions(user_id=0, unseen_items_only=True)
+    # HDF5-backed loaders are out-of-core: the seen-item matrix is
+    # unavailable, as in the reference (``dataloaders.py:381-385``)
+    unseen_only = variant != 'mf_hdf5'
+    preds = model.get_item_predictions(user_id=0, unseen_items_only=unseen_only)
     assert len(preds) > 0
     assert np.isfinite(preds.values).all()
 
     item_sims = model.item_item_similarity(item_id=3)
-    assert len(item_sims) == implicit_train.num_items
+    assert len(item_sims) == zoo_ctx['train'].num_items
     user_sims = model.user_user_similarity(user_id=3)
-    assert len(user_sims) == implicit_train.num_users
+    assert len(user_sims) == zoo_ctx['train'].num_users
 
-    # save / load round-trip preserves scores
+    if variant not in NO_ROUNDTRIP:
+        path = tmp_path / 'model.npz'
+        model.save_model(path)
+        loaded = type(model)(load_model_path=path)
+        users, items = np.array([0, 1, 2]), np.array([5, 6, 7])
+        np.testing.assert_allclose(model(users, items), loaded(users, items),
+                                   rtol=1e-5, atol=1e-6)
+
+
+# Explicit twin of the matrix (reference ``model_fixtures.py:512-688``).
+EXPLICIT_ZOO = {
+    'mf_explicit': lambda ctx: MatrixFactorizationModel(
+        train=ctx['ex_train'], embedding_dim=10, lr=1e-2, loss='mse', seed=0),
+    'mf_explicit_mae': lambda ctx: MatrixFactorizationModel(
+        train=ctx['ex_train'], embedding_dim=10, lr=1e-2, loss='mae', seed=0),
+    'sparse_mf_explicit': lambda ctx: MatrixFactorizationModel(
+        train=ctx['ex_train'], embedding_dim=10, lr=1e-2, loss='mse', seed=0,
+        sparse=True, optimizer='sparse_adam'),
+    'mf_explicit_y_range': lambda ctx: MatrixFactorizationModel(
+        train=ctx['ex_train'], embedding_dim=10, lr=1e-2, loss='mse', seed=0,
+        y_range=(1, 5)),
+    'mlp_mf_explicit': lambda ctx: MLPMatrixFactorizationModel(
+        train=ctx['ex_train'], embedding_dim=10, lr=1e-2, loss='mse', seed=0),
+    'nonlinear_mf_explicit': lambda ctx: NonlinearMatrixFactorizationModel(
+        train=ctx['ex_train'], lr=1e-2, loss='mse', seed=0),
+    'neucf_explicit': lambda ctx: NeuralCollaborativeFiltering(
+        train=ctx['ex_train'], lr=1e-2, loss='mse', seed=0),
+}
+
+
+@pytest.mark.parametrize('variant', sorted(EXPLICIT_ZOO))
+def test_explicit_zoo_variant(variant, zoo_ctx, tmp_path):
+    from collie_tpu.evaluate import explicit_evaluate_in_batches
+
+    model = EXPLICIT_ZOO[variant](zoo_ctx)
+    trainer = CollieTrainer(model, max_epochs=1, verbosity=0, seed=0)
+    trainer.fit(model)
+    assert model.hparams['num_epochs_completed'] == 1
+
+    mse = explicit_evaluate_in_batches(['mse'], zoo_ctx['ex_test'], model,
+                                       verbose=False)
+    assert np.isfinite(mse)
+
     path = tmp_path / 'model.npz'
     model.save_model(path)
-    loaded = model_cls(load_model_path=path)
+    loaded = type(model)(load_model_path=path)
     users, items = np.array([0, 1, 2]), np.array([5, 6, 7])
-    np.testing.assert_allclose(model(users, items), loaded(users, items), rtol=1e-5,
-                               atol=1e-6)
+    np.testing.assert_allclose(model(users, items), loaded(users, items),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_zoo_matrix_width():
+    """The matrix must stay at least as wide as the reference's 31+7
+    (VERDICT round 1, item 8)."""
+    assert len(IMPLICIT_ZOO) >= 30
+    assert len(EXPLICIT_ZOO) >= 5
 
 
 def test_ncf_invalid_final_layer_raises(implicit_train):

@@ -85,3 +85,38 @@ def test_sharded_training_with_validation_loader(mesh, implicit_sets):
     trainer = CollieTrainer(model, max_epochs=2, verbosity=0, mesh=mesh, seed=0)
     trainer.fit(model)
     assert model.hparams['num_epochs_completed'] == 2
+
+
+def test_mesh_evaluate_matches_single_device(mesh, implicit_sets):
+    """Item- and user-sharded fused eval must reproduce the single-device
+    values (rank counts are exact integers psum-merged exactly)."""
+    from collie_tpu.evaluate import evaluate_in_batches
+    from collie_tpu.ops import auc, mapk, mrr
+
+    train, test = implicit_sets
+    model = _make_model(train, loss='adaptive', lr=1e-1)
+    trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=0)
+    trainer.fit(model)
+
+    single = evaluate_in_batches([mapk, mrr, auc], test, model, k=10,
+                                 verbose=False)
+    sharded = evaluate_in_batches([mapk, mrr, auc], test, model, k=10,
+                                  verbose=False, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-7)
+
+
+def test_mesh_evaluate_model_axis_only(implicit_sets):
+    """Catalog sharded over all 8 devices (no data axis)."""
+    from collie_tpu.evaluate import evaluate_in_batches
+    from collie_tpu.ops import mapk
+
+    train, test = implicit_sets
+    model = _make_model(train, loss='adaptive', lr=1e-1)
+    trainer = CollieTrainer(model, max_epochs=1, verbosity=0, seed=0)
+    trainer.fit(model)
+
+    mesh8 = make_mesh(data=1, model=8)
+    single = evaluate_in_batches([mapk], test, model, k=10, verbose=False)
+    sharded = evaluate_in_batches([mapk], test, model, k=10, verbose=False,
+                                  mesh=mesh8)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-7)

@@ -104,3 +104,56 @@ def test_pallas_fast_path_used_for_plain_mf(trained_mf_model):
     for row_ids, u in zip(top_ids, users):
         expected = trained_mf_model.get_item_predictions(int(u), sort_values=True)
         np.testing.assert_array_equal(row_ids, expected.index.values[:10])
+
+
+def test_sharded_retrieval_scores_from_local_table_shard(trained_mf_model):
+    """The MF sharded tier must read only the local table shard per device
+    (P('model', None) in_specs): placing the item tables row-sharded, each
+    device holds num_items / n_shards rows, and results still match the
+    single-device path (VERDICT round 1, item 6)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from collie_tpu.parallel import make_mesh
+
+    model = trained_mf_model
+    num_items = model.hparams['num_items']
+    mesh = make_mesh(data=2, model=4)
+    assert num_items % 4 == 0  # exercises the local-table tier
+
+    # place the item tables row-sharded: per-device memory is a quarter table
+    sharded_params = dict(model.params)
+    for name in ('item_embeddings', 'item_biases'):
+        spec = P('model', *([None] * (model.params[name].ndim - 1)))
+        sharded_params[name] = jax.device_put(
+            jnp.asarray(model.params[name]), NamedSharding(mesh, spec))
+        shard_rows = {s.data.shape[0]
+                      for s in sharded_params[name].addressable_shards}
+        assert shard_rows == {num_items // 4}
+
+    users = np.array([0, 3, 7, 11])
+    single_ids, single_scores = recommend(model, users, k=10,
+                                          filter_seen=False, item_tile=64)
+
+    original = model.params
+    try:
+        model.params = sharded_params
+        sharded_ids, sharded_scores = recommend(model, users, k=10,
+                                                filter_seen=False,
+                                                item_tile=64, mesh=mesh)
+    finally:
+        model.params = original
+
+    np.testing.assert_array_equal(sharded_ids, single_ids)
+    np.testing.assert_allclose(sharded_scores, single_scores, rtol=1e-5)
+
+
+def test_sharded_retrieval_local_tier_with_filtering(trained_mf_model):
+    from collie_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=2, model=4)
+    users = np.array([1, 2, 5])
+    single_ids, _ = recommend(trained_mf_model, users, k=10, filter_seen=True,
+                              item_tile=128)
+    sharded_ids, _ = recommend(trained_mf_model, users, k=10, filter_seen=True,
+                               item_tile=128, mesh=mesh)
+    np.testing.assert_array_equal(sharded_ids, single_ids)
