@@ -180,26 +180,56 @@ def train_collie_tpu(train, val, seed):
 
 # ----------------------------------------------------------------- harness
 
+def _torch_worker(trials: int, out_path: str):
+    """Torch phase in its own process with jax pinned to CPU.
+
+    torch's intra-op thread pool deadlocks against the live axon/TPU grpc
+    client (observed: futex hang on the first backward), so the torch trials
+    must never share a process with an initialized TPU backend.
+    """
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+    train, val = build_split()
+    runs = []
+    for s in range(trials):
+        full = train_torch_reference(train, val, seed=s)
+        runs.append(eval_score_matrix(full, val))
+        print(f'torch seed {s}: {runs[-1]}', flush=True)
+    with open(out_path, 'w') as f:
+        json.dump(runs, f)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--trials', type=int, default=10)
+    parser.add_argument('--torch-worker', type=str, default=None,
+                        help=argparse.SUPPRESS)
     args = parser.parse_args()
 
-    train, val = build_split()
-    torch_runs, jax_runs = [], []
+    if args.torch_worker is not None:
+        _torch_worker(args.trials, args.torch_worker)
+        return
+
+    import subprocess
+    import tempfile
 
     t0 = time.perf_counter()
-    for s in range(args.trials):
-        full = train_torch_reference(train, val, seed=s)
-        torch_runs.append(eval_score_matrix(full, val))
-        print(f'torch seed {s}: {torch_runs[-1]}', flush=True)
+    with tempfile.NamedTemporaryFile(suffix='.json') as tmp:
+        subprocess.run([sys.executable, __file__, '--trials', str(args.trials),
+                        '--torch-worker', tmp.name], check=True)
+        with open(tmp.name) as f:
+            torch_runs = json.load(f)
     torch_secs = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
+    train, val = build_split()
+    jax_runs = []
+
+    t1 = time.perf_counter()
     for s in range(args.trials):
         jax_runs.append(train_collie_tpu(train, val, seed=s))
         print(f'collie_tpu seed {s}: {jax_runs[-1]}', flush=True)
-    jax_secs = time.perf_counter() - t0
+    jax_secs = time.perf_counter() - t1
 
     result = {
         'config': {'dim': DIM, 'lr': LR, 'bias_lr': BIAS_LR, 'epochs': EPOCHS,

@@ -251,8 +251,17 @@ def explicit_evaluate_in_batches(
     """Explicit evaluation driver (reference ``metrics.py:398-502``).
 
     The reference streams batches into stateful ``torchmetrics.Metric``
-    objects; here metrics are the strings ``'mse'`` / ``'mae'`` (or callables
-    ``(preds, ratings) -> float``) accumulated in one streaming pass.
+    objects.  Accepted metrics here:
+
+    * the strings ``'mse'`` / ``'mae'`` — accumulated in one streaming pass;
+    * **stateful metric objects** with the torchmetrics protocol —
+      ``update(preds, ratings)`` per batch, ``compute()`` at the end, and
+      (if present) ``reset()`` always called in a ``finally`` as the
+      reference does (``metrics.py:465-502``) — predictions stream through
+      without buffering;
+    * plain callables ``(preds, ratings) -> float`` — these buffer all
+      predictions in host memory (kept for convenience; prefer a stateful
+      object for large test sets).
     """
     if not isinstance(test_interactions, ExplicitInteractions):
         raise ValueError(
@@ -260,37 +269,51 @@ def explicit_evaluate_in_batches(
             f'{type(test_interactions)}. Try using ``evaluate_in_batches`` instead.'
         )
 
+    def _is_stateful(metric):
+        return hasattr(metric, 'update') and hasattr(metric, 'compute')
+
     loader = InteractionsDataLoader(interactions=test_interactions, **kwargs)
     sq_sum = 0.0
     abs_sum = 0.0
     count = 0
     custom_preds: List[np.ndarray] = []
     custom_ratings: List[np.ndarray] = []
-    needs_raw = any(callable(m) for m in metric_list)
+    needs_raw = any(callable(m) and not _is_stateful(m) for m in metric_list)
+    stateful = [m for m in metric_list if _is_stateful(m)]
 
-    for batch in loader:
-        valid = batch['mask'].astype(bool)
-        preds = model(batch['users'], batch['items'])[valid]
-        ratings = batch['ratings'][valid]
-        err = preds - ratings
-        sq_sum += float(np.square(err).sum())
-        abs_sum += float(np.abs(err).sum())
-        count += len(ratings)
-        if needs_raw:
-            custom_preds.append(preds)
-            custom_ratings.append(ratings)
+    try:
+        for batch in loader:
+            valid = batch['mask'].astype(bool)
+            preds = model(batch['users'], batch['items'])[valid]
+            ratings = batch['ratings'][valid]
+            err = preds - ratings
+            sq_sum += float(np.square(err).sum())
+            abs_sum += float(np.abs(err).sum())
+            count += len(ratings)
+            for metric in stateful:
+                metric.update(preds, ratings)
+            if needs_raw:
+                custom_preds.append(preds)
+                custom_ratings.append(ratings)
 
-    all_scores = []
-    for metric in metric_list:
-        if metric == 'mse':
-            all_scores.append(sq_sum / count)
-        elif metric == 'mae':
-            all_scores.append(abs_sum / count)
-        elif callable(metric):
-            all_scores.append(float(metric(np.concatenate(custom_preds),
-                                           np.concatenate(custom_ratings))))
-        else:
-            raise ValueError(f'Unrecognized explicit metric: {metric!r}')
+        all_scores = []
+        for metric in metric_list:
+            if metric == 'mse':
+                all_scores.append(sq_sum / count)
+            elif metric == 'mae':
+                all_scores.append(abs_sum / count)
+            elif _is_stateful(metric):
+                all_scores.append(float(metric.compute()))
+            elif callable(metric):
+                all_scores.append(float(metric(np.concatenate(custom_preds),
+                                               np.concatenate(custom_ratings))))
+            else:
+                raise ValueError(f'Unrecognized explicit metric: {metric!r}')
+    finally:
+        for metric in stateful:
+            reset = getattr(metric, 'reset', None)
+            if callable(reset):
+                reset()
 
     if logger is not None:
         _log_metrics(model=model, logger=logger, metric_list=metric_list,

@@ -259,6 +259,11 @@ def recommend(model,
     more data is reflected immediately; a changed nnz changes the argument
     shape and recompiles, identical data re-runs the cached program.
     """
+    num_items = model.hparams['num_items']
+    if k > num_items:
+        raise ValueError(
+            f'``k`` ({k}) must not exceed the number of items ({num_items})'
+        )
     seen = _seen_arrays(model) if filter_seen else None
 
     cache = getattr(model, '_compiled_fn_cache', None)

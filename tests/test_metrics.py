@@ -219,3 +219,43 @@ def test_rank_counts_additive_over_item_blocks(rng):
         ea_sum += np.asarray(ea)
     np.testing.assert_array_equal(g_sum, np.asarray(g_whole))
     np.testing.assert_array_equal(ea_sum, np.asarray(ea_whole))
+
+
+def test_explicit_stateful_metric_protocol(rng):
+    """``explicit_evaluate_in_batches`` streams into stateful metric objects
+    (update/compute/reset, the torchmetrics protocol of the reference's
+    ``metrics.py:465-502``) without buffering predictions."""
+    from collie_tpu.data import ExplicitInteractions
+    from collie_tpu.evaluate import explicit_evaluate_in_batches
+    from collie_tpu.models import MatrixFactorizationModel
+
+    users = np.repeat(np.arange(30), 5)
+    items = np.concatenate([rng.choice(60, 5, replace=False) for _ in range(30)])
+    ratings = rng.integers(1, 6, len(users))
+    inter = ExplicitInteractions(users=users, items=items, ratings=ratings,
+                                 allow_missing_ids=True, num_users=30,
+                                 num_items=60)
+    model = MatrixFactorizationModel(train=inter, embedding_dim=4, loss='mse',
+                                     seed=0)
+
+    class StreamingMSE:
+        def __init__(self):
+            self.sq = 0.0
+            self.n = 0
+            self.resets = 0
+
+        def update(self, preds, ratings):
+            self.sq += float(np.square(preds - ratings).sum())
+            self.n += len(ratings)
+
+        def compute(self):
+            return self.sq / self.n
+
+        def reset(self):
+            self.resets += 1
+
+    streaming = StreamingMSE()
+    mse_builtin, mse_streaming = explicit_evaluate_in_batches(
+        ['mse', streaming], inter, model, verbose=False)
+    assert mse_streaming == pytest.approx(mse_builtin, rel=1e-6)
+    assert streaming.resets == 1  # reset always called, as in the reference
