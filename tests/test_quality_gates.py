@@ -67,3 +67,29 @@ def test_explicit_mf_clears_calibrated_mse_gate(gates):
     trainer.fit(model)
     mse = explicit_evaluate_in_batches(['mse'], test, model)
     assert mse < gates['mse']['gate'], f'MSE {mse} over gate'
+
+
+PARITY_PATH = Path(__file__).parent.parent / 'benchmarks' / 'parity_vs_torch.json'
+
+
+def test_head_to_head_parity_vs_torch_artifact():
+    """Gate on the measured head-to-head vs the torch reference stack
+    (``benchmarks/parity_vs_torch.py``; methodology of the reference's
+    mean - 5*sigma trials, ``/root/reference/tests/test_model.py:785-790``).
+
+    The artifact is produced on TPU by the harness; this test asserts the
+    recorded comparison holds, so a regression that degrades quality must
+    either fail the regenerated artifact or show up as a stale config here.
+    """
+    parity = json.loads(PARITY_PATH.read_text())
+    assert parity['config']['trials'] >= 10
+    for metric in ('mapk', 'mrr', 'auc'):
+        stats = parity['metrics'][metric]
+        assert stats['pass'], (
+            f'{metric}: collie_tpu mean {stats["collie_tpu_mean"]} below the '
+            f'torch-reference gate {stats["gate_torch_mean_minus_5_std"]}'
+        )
+        # the rebuilt stack must be within a few percent of the reference
+        # stack's mean, not merely above the 5-sigma floor
+        assert stats['ratio_vs_torch'] > 0.95, (metric, stats['ratio_vs_torch'])
+    assert parity['all_pass']
