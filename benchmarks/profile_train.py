@@ -53,7 +53,9 @@ def build_stage_fns(model, loader, dedup_rounds=1):
     K = inter.num_negative_samples
     num_items = inter.num_items
 
-    from collie_tpu.ops.device_sampling import complement_sample_negatives_impl
+    from collie_tpu.ops.device_sampling import (
+        complement_sample_negatives_impl,
+        complement_sample_negatives_padded_impl)
 
     n = inter.num_interactions
     pad = S * B - n_used
@@ -63,9 +65,14 @@ def build_stage_fns(model, loader, dedup_rounds=1):
         perm = jax.random.permutation(perm_rng, n)[:n_used]
         idx = jnp.concatenate([perm, perm[:1].repeat(pad)]) if pad else perm
         users_flat = data['rows'][idx]
-        negs = complement_sample_negatives_impl(
-            sample_rng, users_flat, data['indptr'], data['shifted_cols'],
-            num_items, K, dedup_rounds=dedup_rounds)
+        if 'shifted_pad' in data:     # engine auto-selected the padded sampler
+            negs = complement_sample_negatives_padded_impl(
+                sample_rng, users_flat, data['shifted_pad'],
+                data['row_counts'], num_items, K, dedup_rounds=dedup_rounds)
+        else:
+            negs = complement_sample_negatives_impl(
+                sample_rng, users_flat, data['indptr'], data['shifted_cols'],
+                num_items, K, dedup_rounds=dedup_rounds)
         return {
             'users': users_flat.reshape(S, B),
             'pos_items': data['cols'][idx].reshape(S, B),
@@ -119,31 +126,33 @@ def build_stage_fns(model, loader, dedup_rounds=1):
 
 def time_stages(model, loader, iters=5):
     stage_fns, data, specs, n_used = build_stage_fns(model, loader)
-    opt_states = tuple(jax.jit(spec.transform.init)(
-        {k: model.params[k] for k in spec.keys}) for spec in specs)
-    rng = jax.random.PRNGKey(0)
+    # host snapshot BEFORE any donating call: the full epoch fn donates its
+    # params/opt_states buffers, which would delete model.params' arrays
+    host_params = {k: np.asarray(v) for k, v in model.params.items()}
 
+    def fresh_state():
+        params = {k: jnp.asarray(v) for k, v in host_params.items()}
+        states = tuple(jax.jit(spec.transform.init)(
+            {k: params[k] for k in spec.keys}) for spec in specs)
+        jax.block_until_ready((params, states))
+        return params, states
+
+    rng = jax.random.PRNGKey(0)
     results = {}
     for name, fn in stage_fns.items():
-        params = dict(model.params)
-        states = opt_states
+        params, states = fresh_state()
         out = fn(params, states, data, rng)          # compile + warm
         jax.block_until_ready(out)
         if name == 'optimizer':
-            # full_fn donates params/opt_states: rebuild per iteration
-            t0 = time.perf_counter()
+            # donating epoch fn: rebuild inputs per lap, time only the call
+            laps = []
             for _ in range(iters):
-                params = {k: jnp.asarray(np.asarray(v))
-                          for k, v in model.params.items()}
-                states = tuple(jax.jit(spec.transform.init)(
-                    {k: params[k] for k in spec.keys}) for spec in specs)
-                jax.block_until_ready((params, states))
+                params, states = fresh_state()
                 t1 = time.perf_counter()
                 out = fn(params, states, data, rng)
                 jax.block_until_ready(out)
-                results.setdefault('_opt_laps', []).append(
-                    time.perf_counter() - t1)
-            lap = float(np.median(results.pop('_opt_laps')))
+                laps.append(time.perf_counter() - t1)
+            lap = float(np.median(laps))
         else:
             t0 = time.perf_counter()
             for _ in range(iters):

@@ -57,6 +57,88 @@ def build_complement_tables(csr) -> Tuple[np.ndarray, np.ndarray]:
     return indptr, cols - rank_within_row
 
 
+def build_padded_complement_table(csr, lane: int = 128
+                                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side precompute for the padded (gather-free) complement sampler.
+
+    Returns ``(shifted_pad [num_users, P], row_counts [num_users])`` where row
+    ``u`` holds that user's ``shifted`` values (``positives[j] - j``, as in
+    :func:`build_complement_tables`) padded to ``P`` — the max row length
+    rounded up to a multiple of ``lane`` (TPU lane width) — with sentinel
+    ``num_items`` (strictly greater than any draw ``r``, so padding never
+    counts).
+    """
+    csr = csr.tocsr()
+    csr.sort_indices()
+    num_users, num_items = csr.shape
+    indptr = csr.indptr.astype(np.int64)
+    counts = np.diff(indptr).astype(np.int32)
+    max_len = int(counts.max()) if num_users else 0
+    P = max(lane, -(-max_len // lane) * lane)
+    shifted_pad = np.full((num_users, P), num_items, dtype=np.int32)
+    cols = csr.indices.astype(np.int32)
+    rank = np.arange(len(cols), dtype=np.int32) - np.repeat(
+        indptr[:-1], counts).astype(np.int32)
+    row_of = np.repeat(np.arange(num_users, dtype=np.int64), counts)
+    shifted_pad[row_of, rank] = cols - rank
+    return shifted_pad, counts
+
+
+def padded_table_bytes(csr, lane: int = 128) -> int:
+    """Size in bytes of the table :func:`build_padded_complement_table` would
+    build — callers use this to auto-select padded vs CSR sampling."""
+    csr = csr.tocsr()
+    num_users = csr.shape[0]
+    counts = np.diff(csr.indptr)
+    max_len = int(counts.max()) if len(counts) else 0
+    P = max(lane, -(-max_len // lane) * lane)
+    return num_users * P * 4
+
+
+def complement_sample_negatives_padded_impl(rng: jax.Array,
+                                            user_ids: jnp.ndarray,
+                                            shifted_pad: jnp.ndarray,
+                                            row_counts: jnp.ndarray,
+                                            num_items: int,
+                                            num_negative_samples: int,
+                                            dedup_rounds: int = 1
+                                            ) -> jnp.ndarray:
+    """Gather-free complement sampling: bit-identical to
+    :func:`complement_sample_negatives_impl` (same RNG stream, same
+    ``item = r + |{j: shifted_j <= r}|`` math) but the segmented binary search
+    — ``O(log num_items)`` sequential passes of random scalar HBM gathers,
+    the measured 66-75%% of epoch time — is replaced by ONE contiguous row
+    gather (``shifted_pad[user]``) and a vectorized comparison-count on the
+    VPU.  The count is exact because ``shifted`` is non-decreasing per row and
+    padding holds ``num_items`` which no draw ``r`` can reach.
+
+    Preferred whenever ``num_users x P`` fits a configurable budget (tables are
+    modest: ML-100K is 943 x 768 x 4B ≈ 2.9 MB); the CSR path remains for
+    pathological row-length skew.
+    """
+    K = num_negative_samples
+    shape = user_ids.shape + (K,)
+    users = user_ids.astype(jnp.int32)
+    rows = shifted_pad[users]                         # [..., P] contiguous rows
+    complement_size = (num_items - row_counts[users])[..., None].astype(jnp.int32)
+
+    def draw(draw_rng, negatives, redraw_mask):
+        u01 = jax.random.uniform(draw_rng, shape)
+        r = jnp.minimum((u01 * complement_size).astype(jnp.int32),
+                        complement_size - 1)
+        cnt = jnp.sum(rows[..., None, :] <= r[..., :, None], axis=-1,
+                      dtype=jnp.int32)               # [..., K]
+        return jnp.where(redraw_mask, r + cnt, negatives)
+
+    rngs = jax.random.split(rng, 1 + dedup_rounds)
+    negatives = draw(rngs[0], jnp.zeros(shape, jnp.int32),
+                     jnp.ones(shape, dtype=bool))
+    for round_idx in range(dedup_rounds):
+        dup = _duplicate_within_row_mask(negatives)
+        negatives = draw(rngs[1 + round_idx], negatives, dup)
+    return negatives
+
+
 def complement_sample_negatives_impl(rng: jax.Array,
                                      user_ids: jnp.ndarray,
                                      indptr: jnp.ndarray,

@@ -1,0 +1,327 @@
+"""Fused whole-epoch matrix-factorization training kernel (Mosaic/Pallas).
+
+SURVEY §7 step 7 ("fused lookup + dot + loss" training kernel), sized by the
+round-1 profile: after the padded sampler landed, the remaining epoch time at
+the gate config is gather/scatter-bound — XLA's dynamic row gathers for
+user/pos/K-negative embedding rows and the scatter-add backward run at
+~200M rows/s, leaving the MXU idle.  The reference's counterpart hot loop is
+the ``neg_preds`` repeat/flatten forward
+(``/root/reference/collie/model/base/base_pipeline.py:618-623``) plus torch
+autograd + optimizer stepping.
+
+Design (TPU-first, not a translation):
+
+* The whole epoch is ONE ``pallas_call`` with ``grid=(num_steps,)``.  Both
+  embedding tables, the item-bias row, and the Adam moments are **VMEM
+  resident** for the entire epoch — they live in output windows with constant
+  index maps (initialized from the input windows at grid step 0; Mosaic does
+  not pre-fill aliased output windows), so state stays on chip across grid
+  steps and writes back to HBM once, after the last step.  Input/output
+  aliasing makes the HBM update in-place.
+* Per step, a batch block ``[B]`` of user/pos ids and ``[K, B]`` negatives is
+  streamed in.  Embedding "gathers" are one-hot matmuls on the **MXU**
+  (``onehot[C, U] @ table[U, D]``) — no HBM gathers at all — and the
+  backward scatter-add is the transposed matmul.
+* Scores for the loss come from one all-item matmul per chunk
+  (``user_rows @ item_table^T -> [C, I]``); positive and sampled-negative
+  scores are masked VPU reductions over that score block.  The hardest
+  negative (adaptive losses) is an explicit first-max scan over ``K`` to
+  match ``jnp.argmax`` tie-breaking in ``ops/losses.py:112-120``.
+* The optimizer update happens **inside the kernel**: optax-exact
+  ``scale_by_adam`` (shared count, bias correction, ``eps`` outside the
+  sqrt) for the embedding tables and plain SGD for the item biases,
+  replicating ``training/optimizers.py::build_transform``'s chain.  User
+  biases provably receive zero gradient from pairwise ranking losses (the
+  user's bias cancels in ``pos - neg``), so they pass through untouched —
+  exactly what the XLA path computes for them.
+
+Numerics: positive scores are read out of the same f32 matmul products the
+XLA path computes, so forward values match to float addition-order; the
+scatter matmuls sum duplicate rows in a deterministic order that can differ
+from XLA's scatter-add order by O(1e-6) — covered by tolerance tests in
+``tests/test_fused_epoch.py``.
+
+Supported envelope (checked by ``scan_engine._fused_epoch_config``): exact
+``MatrixFactorizationModel``, implicit data, hinge / adaptive-hinge loss with
+no loss metadata, ``dropout_p == 0``, no ``y_range``, zero weight decay, the
+default dual-optimizer layout (adam embeddings + sgd biases), single device,
+and tables + moments + score blocks within the VMEM budget.  Anything else
+falls back to the XLA scan engine.
+"""
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+
+# VMEM plan: input + output copies of tables/moments, grad accumulators, and
+# ~5 [C, I] f32 score/grad blocks must fit on chip with headroom for Mosaic's
+# own buffers (v5e VMEM is 128 MiB; stay well clear for double-buffering).
+_VMEM_BUDGET_BYTES = 32 * 2**20
+
+
+def _chunk_size(batch_size: int) -> int:
+    """Largest power-of-two chunk <= 256 dividing the batch (falls back to the
+    whole batch when it is an odd size — still correct, just more VMEM)."""
+    for c in (256, 128, 64, 32, 16, 8):
+        if batch_size % c == 0:
+            return c
+    return batch_size
+
+
+def _lane_pad(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def fused_vmem_bytes(num_users: int, num_items: int, dim: int,
+                     batch_size: int) -> int:
+    """Rough VMEM footprint of the kernel (lane-padded f32)."""
+    d = _lane_pad(dim)
+    # emb + mu + nu, x2: the input windows stay VMEM-resident alongside the
+    # output windows they initialize at grid step 0
+    tables = 6 * (num_users + num_items) * d * 4
+    grads = (num_users + num_items) * d * 4             # accumulators
+    c = _chunk_size(batch_size)
+    blocks = 5 * c * _lane_pad(num_items) * 4           # s_all, dS, one-hots
+    bias = 2 * 8 * _lane_pad(num_items) * 4
+    return tables + grads + blocks + bias
+
+
+def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
+                  denoms_ref, bc1_ref, bc2_ref,               # [1, S] SMEM
+                  lr_emb_ref, lr_bias_ref,                    # SMEM scalars
+                  ue_in, ie_in, ib_in, muu_in, nuu_in, mui_in, nui_in,
+                  cnt_in,
+                  user_emb_ref, item_emb_ref, item_bias_ref,  # state (out)
+                  mu_u_ref, nu_u_ref, mu_i_ref, nu_i_ref, count_ref,
+                  loss_ref,                                   # [1, S] SMEM
+                  du_ref, di_ref, db_ref,                     # VMEM scratch
+                  *, U, I, D, B, K, C, adaptive):
+    f32 = jnp.float32
+
+    # Output windows start UNINITIALIZED on Mosaic (input_output_aliases
+    # aliases the HBM buffers, not the VMEM windows) — copy the initial state
+    # in at the first grid step; the windows persist across steps (constant
+    # index maps) and write back to HBM once, after the last step.
+    @pl.when(pl.program_id(0) == 0)
+    def _init_state():
+        user_emb_ref[:] = ue_in[:]
+        item_emb_ref[:] = ie_in[:]
+        item_bias_ref[:] = ib_in[:]
+        mu_u_ref[:] = muu_in[:]
+        nu_u_ref[:] = nuu_in[:]
+        mu_i_ref[:] = mui_in[:]
+        nu_i_ref[:] = nui_in[:]
+        count_ref[0, 0] = cnt_in[0, 0]
+
+    du_ref[:] = jnp.zeros((U, D), f32)
+    di_ref[:] = jnp.zeros((I, D), f32)
+    db_ref[:] = jnp.zeros((1, I), f32)
+
+    # mask sums are precomputed host-side: Mosaic cannot lower a 1D->scalar
+    # vector reduction ("Offset change"), and an SMEM read is free anyway
+    denom = denoms_ref[0, pl.program_id(0)]
+
+    n_chunks = B // C
+
+    def chunk_body(c, loss_row):
+        sl = pl.ds(c * C, C)
+        u = users_ref[0, 0, sl]                                # [C] i32
+        p = pos_ref[0, 0, sl]
+        w = mask_ref[0, 0, sl]
+
+        # HIGHEST precision everywhere: the MXU otherwise rounds f32 operands
+        # to bf16, and 1e-3-level score noise both degrades training and
+        # breaks parity with the scan engine's elementwise-dot scores
+        hi = jax.lax.Precision.HIGHEST
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, (C, U), 1)
+        uo = (iota_u == u[:, None]).astype(f32)                # [C, U]
+        ug = jnp.dot(uo, user_emb_ref[:], preferred_element_type=f32,
+                     precision=hi)                             # [C, D]
+        s_all = jax.lax.dot_general(
+            ug, item_emb_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=hi)          # [C, I]
+        s_b = s_all + item_bias_ref[:]                         # + [1, I]
+
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (C, I), 1)
+        pos_oh = iota_i == p[:, None]
+        pos_score = jnp.sum(jnp.where(pos_oh, s_b, 0.0), axis=1)   # [C]
+
+        dS = jnp.where(pos_oh, 1.0, 0.0) * 0.0                 # [C, I] zeros
+        if adaptive:
+            best = jnp.full((C,), -1e30, f32)
+            best_k = jnp.zeros((C,), jnp.int32)
+            for k in range(K):
+                nk = negs_ref[0, 0, pl.ds(k * B + c * C, C)]
+                oh = iota_i == nk[:, None]
+                sk = jnp.sum(jnp.where(oh, s_b, 0.0), axis=1)
+                better = sk > best                             # first max wins
+                best = jnp.where(better, sk, best)
+                best_k = jnp.where(better, k, best_k)
+            l = jnp.maximum(1.0 - (pos_score - best), 0.0)
+            g = jnp.where(l > 0.0, w * (1.0 + 2.0 * l) / denom, 0.0)
+            loss_row = loss_row + ((l + l * l) * w).reshape(1, C)
+            dS = dS - jnp.where(pos_oh, g[:, None], 0.0)
+            for k in range(K):
+                nk = negs_ref[0, 0, pl.ds(k * B + c * C, C)]
+                oh = (iota_i == nk[:, None]) & (best_k == k)[:, None]
+                dS = dS + jnp.where(oh, g[:, None], 0.0)
+        else:
+            for k in range(K):
+                nk = negs_ref[0, 0, pl.ds(k * B + c * C, C)]
+                oh = iota_i == nk[:, None]
+                sk = jnp.sum(jnp.where(oh, s_b, 0.0), axis=1)
+                l = jnp.maximum(1.0 - (pos_score - sk), 0.0)
+                g = jnp.where(l > 0.0, w * (1.0 + 2.0 * l) / denom, 0.0)
+                loss_row = loss_row + ((l + l * l) * w).reshape(1, C)
+                dS = dS - jnp.where(pos_oh, g[:, None], 0.0)
+                dS = dS + jnp.where(oh, g[:, None], 0.0)
+
+        db_ref[:] = db_ref[:] + jnp.sum(dS, axis=0, keepdims=True)
+        dug = jnp.dot(dS, item_emb_ref[:], preferred_element_type=f32,
+                      precision=hi)                            # [C, D]
+        di_ref[:] = di_ref[:] + jax.lax.dot_general(
+            dS, ug, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hi)
+        du_ref[:] = du_ref[:] + jax.lax.dot_general(
+            uo, dug, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hi)
+        return loss_row
+
+    loss_row = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                 jnp.zeros((1, C), f32))
+    # scalar-ize via an MXU dot: [1,C]x[C,1] -> [1,1] (Mosaic has no
+    # vector->scalar reduction lowering for this layout)
+    loss_tot = jnp.dot(loss_row, jnp.ones((C, 1), f32),
+                       preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+    loss_ref[0, pl.program_id(0)] = loss_tot[0, 0] / denom
+
+    # ---- optax-exact optimizer update, on chip -------------------------
+    count_ref[0, 0] = count_ref[0, 0] + 1
+    # Adam bias corrections 1-beta^t are precomputed host-side per grid step
+    # (Mosaic has no scalar powf lowering) and read from SMEM
+    bc1 = bc1_ref[0, pl.program_id(0)]
+    bc2 = bc2_ref[0, pl.program_id(0)]
+    lr_e = lr_emb_ref[0, 0]
+
+    for emb_ref, mu_ref, nu_ref, g_ref in (
+            (user_emb_ref, mu_u_ref, nu_u_ref, du_ref),
+            (item_emb_ref, mu_i_ref, nu_i_ref, di_ref)):
+        g = g_ref[:]
+        mu = ADAM_B1 * mu_ref[:] + (1.0 - ADAM_B1) * g
+        nu = ADAM_B2 * nu_ref[:] + (1.0 - ADAM_B2) * g * g
+        mu_ref[:] = mu
+        nu_ref[:] = nu
+        emb_ref[:] = emb_ref[:] - lr_e * (mu / bc1) / (jnp.sqrt(nu / bc2)
+                                                       + ADAM_EPS)
+
+    item_bias_ref[:] = item_bias_ref[:] - lr_bias_ref[0, 0] * db_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=('K', 'adaptive', 'interpret'))
+def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
+                   item_emb: jnp.ndarray,      # [I, D] f32
+                   item_bias: jnp.ndarray,     # [I] f32
+                   mu_u: jnp.ndarray, nu_u: jnp.ndarray,
+                   mu_i: jnp.ndarray, nu_i: jnp.ndarray,
+                   count: jnp.ndarray,         # [] i32 (optax adam count)
+                   users: jnp.ndarray,         # [S, B] i32
+                   pos: jnp.ndarray,           # [S, B] i32
+                   negs: jnp.ndarray,          # [S, B, K] i32
+                   mask: jnp.ndarray,          # [S, B] f32
+                   lr_emb: jnp.ndarray, lr_bias: jnp.ndarray,
+                   *, K: int, adaptive: bool, interpret: bool = False
+                   ) -> Tuple[jnp.ndarray, ...]:
+    """Run one training epoch; returns ``(user_emb, item_emb, item_bias,
+    mu_u, nu_u, mu_i, nu_i, count, losses[S])``."""
+    U, D = user_emb.shape
+    I = item_emb.shape[0]
+    S, B = users.shape
+    C = _chunk_size(B)
+
+    # [S, 1, K*B], k-major: per-step blocks stream with an (1, 1, K*B)
+    # BlockSpec whose sublane dim equals the full axis (Mosaic alignment rule)
+    negs_t = jnp.transpose(negs, (0, 2, 1)).reshape(S, 1, K * B)
+    users3 = users.reshape(S, 1, B)
+    pos3 = pos.reshape(S, 1, B)
+    mask3 = mask.reshape(S, 1, B)
+    bias_row = item_bias.reshape(1, I)
+    count2 = count.reshape(1, 1).astype(jnp.int32)
+    denoms = jnp.maximum(mask.sum(axis=1), 1.0).astype(jnp.float32)\
+        .reshape(1, S)
+    # Adam bias corrections for steps count+1 .. count+S, precomputed (no
+    # powf inside Mosaic); matches optax.scale_by_adam's bias_correction
+    t = count.astype(jnp.float32) + 1.0 + jnp.arange(S, dtype=jnp.float32)
+    bc1s = (1.0 - ADAM_B1 ** t).reshape(1, S)
+    bc2s = (1.0 - ADAM_B2 ** t).reshape(1, S)
+    lr_e = jnp.asarray(lr_emb, jnp.float32).reshape(1, 1)
+    lr_b = jnp.asarray(lr_bias, jnp.float32).reshape(1, 1)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda s: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_epoch_kernel, U=U, I=I, D=D, B=B, K=K, C=C,
+                               adaptive=adaptive)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K * B), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            full((U, D)), full((I, D)), full((1, I)),
+            full((U, D)), full((U, D)), full((I, D)), full((I, D)),
+            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            full((U, D)), full((I, D)), full((1, I)),
+            full((U, D)), full((U, D)), full((I, D)), full((I, D)),
+            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((U, D), jnp.float32),
+            jax.ShapeDtypeStruct((I, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, I), jnp.float32),
+            jax.ShapeDtypeStruct((U, D), jnp.float32),
+            jax.ShapeDtypeStruct((U, D), jnp.float32),
+            jax.ShapeDtypeStruct((I, D), jnp.float32),
+            jax.ShapeDtypeStruct((I, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
+        ],
+        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3, 13: 4, 14: 5,
+                              15: 6, 16: 7},
+        scratch_shapes=[
+            pltpu.VMEM((U, D), jnp.float32),
+            pltpu.VMEM((I, D), jnp.float32),
+            pltpu.VMEM((1, I), jnp.float32),
+        ],
+        interpret=interpret,
+    )(users3, pos3, negs_t, mask3, denoms, bc1s, bc2s, lr_e, lr_b,
+      user_emb, item_emb, bias_row, mu_u, nu_u, mu_i, nu_i, count2)
+
+    (new_user_emb, new_item_emb, new_bias_row,
+     new_mu_u, new_nu_u, new_mu_i, new_nu_i, new_count2, losses) = out
+    return (new_user_emb, new_item_emb, new_bias_row.reshape(I),
+            new_mu_u, new_nu_u, new_mu_i, new_nu_i,
+            new_count2.reshape(()).astype(count.dtype), losses.reshape(S))

@@ -25,8 +25,122 @@ import numpy as np
 from collie_tpu.data import (ApproximateNegativeSamplingInteractionsDataLoader,
                              ExplicitInteractions, HDF5InteractionsDataLoader,
                              Interactions, InteractionsDataLoader)
-from collie_tpu.ops.device_sampling import build_complement_tables, \
-    complement_sample_negatives_impl
+from collie_tpu.ops.device_sampling import (
+    build_complement_tables, build_padded_complement_table,
+    complement_sample_negatives_impl, complement_sample_negatives_padded_impl,
+    padded_table_bytes)
+
+# Auto-select the gather-free padded sampler whenever its [num_users, P] table
+# fits this budget (P = max user degree rounded to the 128-lane width); beyond
+# it — extreme row-length skew at huge user counts — fall back to the CSR
+# binary-search path.  Override with COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB
+# (0 disables the padded path entirely).
+_PADDED_SAMPLER_BUDGET_MB = 512
+
+
+def _fused_epoch_config(model, specs, active, loader, mesh):
+    """Decide whether this (model, loader, optimizer) combination can train
+    through the fused whole-epoch Pallas kernel
+    (``ops/pallas/fused_mf_epoch.py``); returns a config dict or None.
+
+    ``COLLIE_TPU_FUSED_EPOCH``: ``auto`` (default — fused on TPU only),
+    ``1`` (force, even on CPU where the kernel runs in interpret mode —
+    used by the numerics tests), ``0`` (never).  Everything outside the
+    kernel's envelope silently uses the XLA scan path (same semantics).
+    """
+    import os
+    gate = os.environ.get('COLLIE_TPU_FUSED_EPOCH', 'auto')
+    if gate == '0':
+        return None
+    if gate != '1' and jax.default_backend() != 'tpu':
+        return None
+    if mesh is not None or not all(active):
+        return None
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+    if type(model) is not MatrixFactorizationModel:
+        return None
+    inter = loader.interactions
+    if isinstance(inter, ExplicitInteractions):
+        return None
+    hp = model.hparams
+    if hp.get('dropout_p', 0.0) or hp.get('y_range') is not None \
+            or hp.get('weight_decay', 0.0):
+        return None
+    if model.metadata_for_loss:
+        return None
+    from collie_tpu.ops import losses as L
+    if model.loss_function is L.adaptive_hinge_loss:
+        adaptive = True
+    elif model.loss_function is L.hinge_loss:
+        adaptive = False
+    else:
+        return None
+    # the default dual layout: adam over both embedding tables, sgd biases
+    if hp.get('optimizer') not in ('adam', 'sparse_adam'):
+        return None
+    bias_opt = hp.get('bias_optimizer')
+    if bias_opt == 'infer':
+        bias_opt = hp.get('optimizer')
+    if bias_opt != 'sgd' or len(specs) != 2:
+        return None
+    by_keys = {tuple(spec.keys): i for i, spec in enumerate(specs)}
+    emb_idx = by_keys.get(('item_embeddings', 'user_embeddings'))
+    bias_idx = by_keys.get(('item_biases', 'user_biases'))
+    if emb_idx is None or bias_idx is None:
+        return None
+    if any(model.params[k].dtype != jnp.float32 for k in model.params):
+        return None
+    from collie_tpu.ops.pallas.fused_mf_epoch import (_VMEM_BUDGET_BYTES,
+                                                      fused_vmem_bytes)
+    if fused_vmem_bytes(hp['num_users'], hp['num_items'],
+                        hp['embedding_dim'], loader.batch_size) \
+            > _VMEM_BUDGET_BYTES:
+        return None
+    return {'adaptive': adaptive, 'emb_idx': emb_idx, 'bias_idx': bias_idx}
+
+
+def _find_adam_state(state):
+    import optax
+    if isinstance(state, optax.ScaleByAdamState):
+        return state
+    if isinstance(state, tuple):
+        for v in state:
+            found = _find_adam_state(v)
+            if found is not None:
+                return found
+    if isinstance(state, dict):
+        for v in state.values():
+            found = _find_adam_state(v)
+            if found is not None:
+                return found
+    return None
+
+
+def _replace_adam_state(state, new_adam):
+    import optax
+    if isinstance(state, optax.ScaleByAdamState):
+        return new_adam
+    if isinstance(state, tuple) and hasattr(state, '_fields'):
+        return type(state)(*[_replace_adam_state(v, new_adam) for v in state])
+    if isinstance(state, tuple):
+        return tuple(_replace_adam_state(v, new_adam) for v in state)
+    if isinstance(state, dict):
+        return {k: _replace_adam_state(v, new_adam) for k, v in state.items()}
+    return state
+
+
+def _bump_wrapper_count(state, steps: int):
+    """Advance the per-update counter the fused kernel does not touch.
+
+    ``build_transform`` wraps every optimizer in ``optax.inject_hyperparams``,
+    whose ``InjectHyperparamsState.count`` increments once per ``update`` call
+    on the XLA scan path (S times per epoch).  The fused kernel performs the
+    inner updates itself, so the wrapper counter is advanced here to keep the
+    two engines' optimizer states bit-interchangeable (checkpoint/resume,
+    engine switching mid-fit)."""
+    if hasattr(state, 'count') and hasattr(state, 'hyperparams'):
+        return state._replace(count=state.count + steps)
+    return state
 
 _SCANNABLE_LOADERS = (InteractionsDataLoader,
                       ApproximateNegativeSamplingInteractionsDataLoader)
@@ -81,9 +195,19 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         K = inter.num_negative_samples
         num_items = inter.num_items
         if exact:
-            indptr_np, shifted_np = build_complement_tables(inter.mat)
-            data['indptr'] = jnp.asarray(indptr_np)
-            data['shifted_cols'] = jnp.asarray(shifted_np)
+            import os
+            budget_mb = float(os.environ.get(
+                'COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB',
+                _PADDED_SAMPLER_BUDGET_MB))
+            padded = padded_table_bytes(inter.mat) <= budget_mb * 2**20
+            if padded:
+                pad_np, counts_np = build_padded_complement_table(inter.mat)
+                data['shifted_pad'] = jnp.asarray(pad_np)
+                data['row_counts'] = jnp.asarray(counts_np)
+            else:
+                indptr_np, shifted_np = build_complement_tables(inter.mat)
+                data['indptr'] = jnp.asarray(indptr_np)
+                data['shifted_cols'] = jnp.asarray(shifted_np)
 
     data_spec = None
     if mesh is not None:
@@ -116,7 +240,12 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
             batches['ratings'] = _constrain(data['ratings'][idx].reshape(S, B))
         else:
             batches['pos_items'] = _constrain(data['cols'][idx].reshape(S, B))
-            if exact:
+            if exact and padded:
+                negs = complement_sample_negatives_padded_impl(
+                    sample_rng, users_flat, data['shifted_pad'],
+                    data['row_counts'], num_items, K,
+                    dedup_rounds=dedup_rounds)
+            elif exact:
                 negs = complement_sample_negatives_impl(
                     sample_rng, users_flat, data['indptr'], data['shifted_cols'],
                     num_items, K, dedup_rounds=dedup_rounds)
@@ -132,7 +261,50 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                     NamedSharding(mesh, P(None, DATA_AXIS, None)))
         return batches
 
-    if training:
+    fused_cfg = None
+    if training and not explicit:
+        fused_cfg = _fused_epoch_config(model, specs, active, loader, mesh)
+    if fused_cfg is not None:
+        from collie_tpu.ops.pallas.fused_mf_epoch import fused_mf_epoch
+        from collie_tpu.training.optimizers import _find_hyperparams
+        emb_idx, bias_idx = fused_cfg['emb_idx'], fused_cfg['bias_idx']
+        adaptive = fused_cfg['adaptive']
+        interpret = jax.default_backend() != 'tpu'
+
+        def epoch_fn(params, opt_states, data, base_rng, epoch_idx):
+            # identical RNG layout to the scan path: same seed -> same
+            # permutation and the same sampled negatives
+            rng = jax.random.fold_in(base_rng, epoch_idx)
+            perm_rng, sample_rng, _ = jax.random.split(rng, 3)
+            batches = _epoch_batches(data, perm_rng, sample_rng)
+
+            adam = _find_adam_state(opt_states[emb_idx])
+            lr_e = _find_hyperparams(opt_states[emb_idx])['learning_rate']
+            lr_b = _find_hyperparams(opt_states[bias_idx])['learning_rate']
+            (ue, ie, ib, mu_u, nu_u, mu_i, nu_i, cnt, losses) = fused_mf_epoch(
+                params['user_embeddings'], params['item_embeddings'],
+                params['item_biases'],
+                adam.mu['user_embeddings'], adam.nu['user_embeddings'],
+                adam.mu['item_embeddings'], adam.nu['item_embeddings'],
+                adam.count,
+                batches['users'], batches['pos_items'], batches['neg_items'],
+                batches['mask'], lr_e, lr_b,
+                K=K, adaptive=adaptive, interpret=interpret)
+            new_params = {**params, 'user_embeddings': ue,
+                          'item_embeddings': ie, 'item_biases': ib}
+            import optax
+            new_adam = optax.ScaleByAdamState(
+                count=cnt,
+                mu={'item_embeddings': mu_i, 'user_embeddings': mu_u},
+                nu={'item_embeddings': nu_i, 'user_embeddings': nu_u})
+            new_states = list(opt_states)
+            new_states[emb_idx] = _bump_wrapper_count(
+                _replace_adam_state(opt_states[emb_idx], new_adam), S)
+            new_states[bias_idx] = _bump_wrapper_count(opt_states[bias_idx], S)
+            return new_params, tuple(new_states), losses.mean()
+
+        jitted = jax.jit(epoch_fn, donate_argnums=(0, 1))
+    elif training:
         def epoch_fn(params, opt_states, data, base_rng, epoch_idx):
             rng = jax.random.fold_in(base_rng, epoch_idx)
             perm_rng, sample_rng, dropout_rng = jax.random.split(rng, 3)

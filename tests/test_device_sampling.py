@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 from scipy.sparse import coo_matrix
 
+from tests.fixtures.model_fixtures import implicit_sets, implicit_train  # noqa: F401
+
 from collie_tpu.ops.device_sampling import (build_complement_tables,
                                             complement_sample_negatives,
                                             sample_negatives)
@@ -156,3 +158,81 @@ def test_distinct_sampler_rows_are_shuffled(problem):
         num_items, 8))
     sorted_rows = sum(bool((np.diff(row) > 0).all()) for row in negs)
     assert sorted_rows < 10  # ~1/8! chance per row if properly shuffled
+
+
+def test_padded_sampler_bit_identical_to_csr_path(problem):
+    """The padded comparison-count sampler consumes the same RNG stream and
+    computes the same ``item = r + |{j: shifted_j <= r}|`` map as the CSR
+    binary search — outputs must match exactly, so swapping the engine's
+    sampler never shifts training numerics or calibrated gates."""
+    from collie_tpu.ops.device_sampling import (
+        build_padded_complement_table, complement_sample_negatives_impl,
+        complement_sample_negatives_padded_impl)
+
+    mat, _, num_users, num_items = problem
+    indptr, shifted = build_complement_tables(mat)
+    pad, counts = build_padded_complement_table(mat)
+    assert pad.shape[1] % 128 == 0
+    users = jnp.asarray(
+        np.random.default_rng(3).integers(0, num_users, 5000).astype(np.int32))
+    for dedup_rounds in (0, 1, 2):
+        key = jax.random.PRNGKey(7)
+        a = complement_sample_negatives_impl(
+            key, users, jnp.asarray(indptr), jnp.asarray(shifted), num_items,
+            6, dedup_rounds=dedup_rounds)
+        b = complement_sample_negatives_padded_impl(
+            key, users, jnp.asarray(pad), jnp.asarray(counts), num_items,
+            6, dedup_rounds=dedup_rounds)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_padded_sampler_near_full_user(problem):
+    """A user holding all items but one must always draw that one item."""
+    from scipy.sparse import csr_matrix
+    from collie_tpu.ops.device_sampling import (
+        build_padded_complement_table, complement_sample_negatives_padded_impl)
+
+    num_items = 300
+    mat = csr_matrix((np.ones(num_items - 1),
+                      (np.zeros(num_items - 1, int), np.arange(num_items - 1))),
+                     shape=(2, num_items))
+    pad, counts = build_padded_complement_table(mat)
+    negs = complement_sample_negatives_padded_impl(
+        jax.random.PRNGKey(0), jnp.zeros(64, jnp.int32), jnp.asarray(pad),
+        jnp.asarray(counts), num_items, 4)
+    assert (np.asarray(negs) == num_items - 1).all()
+
+
+def test_scan_engine_selects_padded_sampler_by_budget(implicit_train,
+                                                      monkeypatch):
+    """Engine auto-selection: padded table within budget, CSR fallback when
+    the budget (COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB) excludes it — and both
+    engines train to identical params (bit-identical sampling)."""
+    from collie_tpu.data import InteractionsDataLoader
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+    from collie_tpu.training.scan_engine import build_scan_epoch_fns
+
+    def run(budget):
+        monkeypatch.setenv('COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB', budget)
+        loader = InteractionsDataLoader(interactions=implicit_train,
+                                        batch_size=512, shuffle=True, seed=0)
+        model = MatrixFactorizationModel(train=loader, embedding_dim=4,
+                                         lr=1e-1, loss='hinge', seed=0)
+        specs = model.optimizer_specs()
+        fn, data, S, n = build_scan_epoch_fns(
+            model, specs, [True] * len(specs), loader, shuffle=True,
+            training=True)
+        opt_states = tuple(
+            jax.jit(spec.transform.init)(
+                {k: model.params[k] for k in spec.keys}) for spec in specs)
+        params, _, loss = fn(dict(model.params), opt_states, data,
+                             jax.random.PRNGKey(0), np.int32(0))
+        return data, jax.device_get(params), float(loss)
+
+    data_pad, params_pad, loss_pad = run('512')
+    data_csr, params_csr, loss_csr = run('0')
+    assert 'shifted_pad' in data_pad and 'indptr' not in data_pad
+    assert 'indptr' in data_csr and 'shifted_pad' not in data_csr
+    assert loss_pad == loss_csr
+    for k in params_pad:
+        np.testing.assert_array_equal(params_pad[k], params_csr[k])
