@@ -42,7 +42,8 @@ from XLA's scatter-add order by O(1e-6) — covered by tolerance tests in
 ``tests/test_fused_epoch.py``.
 
 Supported envelope (checked by ``scan_engine._fused_epoch_config``): exact
-``MatrixFactorizationModel``, implicit data, hinge / adaptive-hinge loss with
+``MatrixFactorizationModel``, implicit data, hinge / adaptive-hinge /
+bpr / adaptive-bpr loss with
 no loss metadata, ``dropout_p == 0``, no ``y_range``, zero weight decay, the
 default dual-optimizer layout (adam embeddings + sgd biases), single device,
 and tables + moments + score blocks within the VMEM budget.  Anything else
@@ -102,7 +103,7 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
                   mu_u_ref, nu_u_ref, mu_i_ref, nu_i_ref, count_ref,
                   loss_ref,                                   # [1, S] SMEM
                   du_ref, di_ref, db_ref,                     # VMEM scratch
-                  *, U, I, D, B, K, C, adaptive):
+                  *, U, I, D, B, K, C, adaptive, loss_kind):
     f32 = jnp.float32
 
     # Output windows start UNINITIALIZED on Mosaic (input_output_aliases
@@ -153,6 +154,22 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
         pos_oh = iota_i == p[:, None]
         pos_score = jnp.sum(jnp.where(pos_oh, s_b, 0.0), axis=1)   # [C]
 
+        def pair_loss_grad(d):
+            """Per-pair composite loss element + score-gradient magnitude.
+
+            ``l`` is the elementwise loss; ``g = w*(1+2l)*dfac/denom`` is
+            ``dLoss/d(neg_score) = -dLoss/d(pos_score)`` under the composite
+            ``(Σl+Σl²)/Σw`` reduction (``ops/losses.py:69-78``)."""
+            if loss_kind == 'hinge':                          # hinge.py:8-85
+                l = jnp.maximum(1.0 - d, 0.0)
+                dfac = (l > 0.0).astype(f32)
+            else:                                             # bpr.py:8-89
+                s = jax.nn.sigmoid(d)
+                l = 1.0 - s
+                dfac = s * (1.0 - s)
+            g = w * (1.0 + 2.0 * l) * dfac / denom
+            return l, g
+
         dS = jnp.where(pos_oh, 1.0, 0.0) * 0.0                 # [C, I] zeros
         if adaptive:
             best = jnp.full((C,), -1e30, f32)
@@ -164,8 +181,7 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
                 better = sk > best                             # first max wins
                 best = jnp.where(better, sk, best)
                 best_k = jnp.where(better, k, best_k)
-            l = jnp.maximum(1.0 - (pos_score - best), 0.0)
-            g = jnp.where(l > 0.0, w * (1.0 + 2.0 * l) / denom, 0.0)
+            l, g = pair_loss_grad(pos_score - best)
             loss_row = loss_row + ((l + l * l) * w).reshape(1, C)
             dS = dS - jnp.where(pos_oh, g[:, None], 0.0)
             for k in range(K):
@@ -177,8 +193,7 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
                 nk = negs_ref[0, 0, pl.ds(k * B + c * C, C)]
                 oh = iota_i == nk[:, None]
                 sk = jnp.sum(jnp.where(oh, s_b, 0.0), axis=1)
-                l = jnp.maximum(1.0 - (pos_score - sk), 0.0)
-                g = jnp.where(l > 0.0, w * (1.0 + 2.0 * l) / denom, 0.0)
+                l, g = pair_loss_grad(pos_score - sk)
                 loss_row = loss_row + ((l + l * l) * w).reshape(1, C)
                 dS = dS - jnp.where(pos_oh, g[:, None], 0.0)
                 dS = dS + jnp.where(oh, g[:, None], 0.0)
@@ -225,7 +240,8 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
     item_bias_ref[:] = item_bias_ref[:] - lr_bias_ref[0, 0] * db_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=('K', 'adaptive', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('K', 'adaptive', 'loss_kind',
+                                             'interpret'))
 def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
                    item_emb: jnp.ndarray,      # [I, D] f32
                    item_bias: jnp.ndarray,     # [I] f32
@@ -237,8 +253,8 @@ def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
                    negs: jnp.ndarray,          # [S, B, K] i32
                    mask: jnp.ndarray,          # [S, B] f32
                    lr_emb: jnp.ndarray, lr_bias: jnp.ndarray,
-                   *, K: int, adaptive: bool, interpret: bool = False
-                   ) -> Tuple[jnp.ndarray, ...]:
+                   *, K: int, adaptive: bool, loss_kind: str = 'hinge',
+                   interpret: bool = False) -> Tuple[jnp.ndarray, ...]:
     """Run one training epoch; returns ``(user_emb, item_emb, item_bias,
     mu_u, nu_u, mu_i, nu_i, count, losses[S])``."""
     U, D = user_emb.shape
@@ -268,8 +284,9 @@ def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
         return pl.BlockSpec(shape, lambda s: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    assert loss_kind in ('hinge', 'bpr'), loss_kind
     kernel = functools.partial(_epoch_kernel, U=U, I=I, D=D, B=B, K=K, C=C,
-                               adaptive=adaptive)
+                               adaptive=adaptive, loss_kind=loss_kind)
 
     out = pl.pallas_call(
         kernel,

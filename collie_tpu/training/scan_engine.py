@@ -69,12 +69,13 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
     if model.metadata_for_loss:
         return None
     from collie_tpu.ops import losses as L
-    if model.loss_function is L.adaptive_hinge_loss:
-        adaptive = True
-    elif model.loss_function is L.hinge_loss:
-        adaptive = False
-    else:
+    _kernel_losses = {L.hinge_loss: ('hinge', False),
+                      L.adaptive_hinge_loss: ('hinge', True),
+                      L.bpr_loss: ('bpr', False),
+                      L.adaptive_bpr_loss: ('bpr', True)}
+    if model.loss_function not in _kernel_losses:
         return None
+    loss_kind, adaptive = _kernel_losses[model.loss_function]
     # the default dual layout: adam over both embedding tables, sgd biases
     if hp.get('optimizer') not in ('adam', 'sparse_adam'):
         return None
@@ -96,7 +97,8 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
                         hp['embedding_dim'], loader.batch_size) \
             > _VMEM_BUDGET_BYTES:
         return None
-    return {'adaptive': adaptive, 'emb_idx': emb_idx, 'bias_idx': bias_idx}
+    return {'adaptive': adaptive, 'loss_kind': loss_kind,
+            'emb_idx': emb_idx, 'bias_idx': bias_idx}
 
 
 def _find_adam_state(state):
@@ -269,6 +271,7 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         from collie_tpu.training.optimizers import _find_hyperparams
         emb_idx, bias_idx = fused_cfg['emb_idx'], fused_cfg['bias_idx']
         adaptive = fused_cfg['adaptive']
+        loss_kind = fused_cfg['loss_kind']
         interpret = jax.default_backend() != 'tpu'
 
         def epoch_fn(params, opt_states, data, base_rng, epoch_idx):
@@ -289,7 +292,8 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                 adam.count,
                 batches['users'], batches['pos_items'], batches['neg_items'],
                 batches['mask'], lr_e, lr_b,
-                K=K, adaptive=adaptive, interpret=interpret)
+                K=K, adaptive=adaptive, loss_kind=loss_kind,
+                interpret=interpret)
             new_params = {**params, 'user_embeddings': ue,
                           'item_embeddings': ie, 'item_biases': ib}
             import optax

@@ -47,16 +47,23 @@ def _train_epochs(implicit_train, monkeypatch, fused: bool, *, loss='adaptive',
     return (jax.device_get(params), jax.device_get(opt_states), losses, S)
 
 
-@pytest.mark.parametrize('loss', ['hinge', 'adaptive'])
+@pytest.mark.parametrize('loss', ['hinge', 'adaptive', 'bpr', 'adaptive_bpr'])
 def test_fused_epoch_matches_scan_engine(implicit_train, monkeypatch, loss):
     """Same data, same seed: the fused kernel and the XLA scan engine must
     produce matching params, losses, and *interchangeable* optimizer states
     (including every count leaf — checkpoint/resume must not care which
-    engine wrote the state)."""
+    engine wrote the state).
+
+    The bpr family runs fewer epochs: its sigmoid gradient is dense (every
+    pair contributes), so hardest-negative argmax flips on 1e-7 rounding
+    accumulate into visible bias drift faster than hinge's sparse violations
+    do.  Long-horizon equivalence is validated statistically on TPU instead
+    (``benchmarks/fused_quality.py``)."""
+    epochs = 1 if 'bpr' in loss else 3
     p_fused, s_fused, l_fused, S = _train_epochs(
-        implicit_train, monkeypatch, fused=True, loss=loss)
+        implicit_train, monkeypatch, fused=True, loss=loss, epochs=epochs)
     p_scan, s_scan, l_scan, _ = _train_epochs(
-        implicit_train, monkeypatch, fused=False, loss=loss)
+        implicit_train, monkeypatch, fused=False, loss=loss, epochs=epochs)
 
     # tolerance: the kernel's matmul-shaped scatter sums duplicate rows in a
     # different order than XLA's scatter-add; O(1e-7) forward deltas amplify
@@ -134,7 +141,7 @@ def test_fused_envelope_rejects_out_of_scope(implicit_train, monkeypatch):
     mlp = MLPMatrixFactorizationModel(train=loader, embedding_dim=8, seed=0)
     assert _config_for(mlp, loader, monkeypatch) is None
 
-    for kwargs in ({'loss': 'bpr'}, {'dropout_p': 0.5},
+    for kwargs in ({'loss': 'warp'}, {'dropout_p': 0.5},
                    {'weight_decay': 1e-6}, {'y_range': (0.0, 5.0)},
                    {'optimizer': 'sgd'}, {'bias_optimizer': 'adam'}):
         m = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
