@@ -119,16 +119,44 @@ def complement_sample_negatives_padded_impl(rng: jax.Array,
     K = num_negative_samples
     shape = user_ids.shape + (K,)
     users = user_ids.astype(jnp.int32)
-    rows = shifted_pad[users]                         # [..., P] contiguous rows
     complement_size = (num_items - row_counts[users])[..., None].astype(jnp.int32)
+
+    # The comparison-count runs over fixed-size user chunks (lax.map inside
+    # the one jitted epoch program): a whole-epoch ``shifted_pad[users]``
+    # would materialize [n_examples, P] — 40 GB at ML-10M scale.  Only the
+    # RNG draws span the full shape (bit-identity with the CSR path).
+    chunk = 8192
+    flat_users = users.reshape(-1)
+    n = flat_users.shape[0]
+
+    def one_chunk(args):
+        u_c, r_c = args
+        rows_c = shifted_pad[u_c]                         # [chunk, P]
+        return jnp.sum(rows_c[:, None, :] <= r_c[:, :, None], axis=-1,
+                       dtype=jnp.int32)                   # [chunk, K]
+
+    def count_le(r):
+        """|{j: shifted_pad[u, j] <= r}| per (example, draw), chunked."""
+        flat_r = r.reshape(-1, K)
+        if n <= chunk:
+            return one_chunk((flat_users, flat_r)).reshape(shape)
+        pad = -n % chunk
+        if pad:
+            flat_u = jnp.concatenate([flat_users,
+                                      jnp.zeros((pad,), jnp.int32)])
+            flat_r = jnp.concatenate(
+                [flat_r, jnp.full((pad, K), -1, jnp.int32)])
+        else:
+            flat_u = flat_users
+        cnt = jax.lax.map(one_chunk, (flat_u.reshape(-1, chunk),
+                                      flat_r.reshape(-1, chunk, K)))
+        return cnt.reshape(-1, K)[:n].reshape(shape)
 
     def draw(draw_rng, negatives, redraw_mask):
         u01 = jax.random.uniform(draw_rng, shape)
         r = jnp.minimum((u01 * complement_size).astype(jnp.int32),
                         complement_size - 1)
-        cnt = jnp.sum(rows[..., None, :] <= r[..., :, None], axis=-1,
-                      dtype=jnp.int32)               # [..., K]
-        return jnp.where(redraw_mask, r + cnt, negatives)
+        return jnp.where(redraw_mask, r + count_le(r), negatives)
 
     rngs = jax.random.split(rng, 1 + dedup_rounds)
     negatives = draw(rngs[0], jnp.zeros(shape, jnp.int32),

@@ -172,22 +172,24 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
 
         dS = jnp.where(pos_oh, 1.0, 0.0) * 0.0                 # [C, I] zeros
         if adaptive:
+            # One pass over K: track the hardest negative's *item id* (ties:
+            # first max wins, matching jnp.argmax in ops/losses.py:112-120),
+            # then scatter the gradient with a single one-hot — the item id
+            # fully determines dS, so no second pass over K is needed.
             best = jnp.full((C,), -1e30, f32)
-            best_k = jnp.zeros((C,), jnp.int32)
+            best_item = jnp.zeros((C,), jnp.int32)
             for k in range(K):
                 nk = negs_ref[0, 0, pl.ds(k * B + c * C, C)]
                 oh = iota_i == nk[:, None]
                 sk = jnp.sum(jnp.where(oh, s_b, 0.0), axis=1)
-                better = sk > best                             # first max wins
+                better = sk > best
                 best = jnp.where(better, sk, best)
-                best_k = jnp.where(better, k, best_k)
+                best_item = jnp.where(better, nk, best_item)
             l, g = pair_loss_grad(pos_score - best)
             loss_row = loss_row + ((l + l * l) * w).reshape(1, C)
             dS = dS - jnp.where(pos_oh, g[:, None], 0.0)
-            for k in range(K):
-                nk = negs_ref[0, 0, pl.ds(k * B + c * C, C)]
-                oh = (iota_i == nk[:, None]) & (best_k == k)[:, None]
-                dS = dS + jnp.where(oh, g[:, None], 0.0)
+            dS = dS + jnp.where(iota_i == best_item[:, None],
+                                g[:, None], 0.0)
         else:
             for k in range(K):
                 nk = negs_ref[0, 0, pl.ds(k * B + c * C, C)]
