@@ -357,3 +357,131 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         jitted = jax.jit(epoch_fn)
 
     return jitted, data, S, n_used
+
+
+def build_scan_fit_fn(train_epoch_fn, val_epoch_fn, *, monitor_val: bool,
+                      sched_kinds: tuple, sched_statics: tuple,
+                      es_patience, terminate_on_nan: bool):
+    """One jitted dispatch for an ENTIRE ``fit()``: ``lax.scan`` over epochs.
+
+    The per-epoch host round-trip (fetch the epoch loss, step the plateau
+    scheduler, check early stopping) costs a full tunnel RPC — measured
+    50-80 ms against 0.7-0.9 ms of actual epoch compute at the headline
+    config — so the whole decision loop moves on device:
+
+    * ``ReduceLROnPlateau`` / ``StepLR`` stepping (exact semantics of
+      ``schedulers.py:34-63``) runs as jnp scalar ops, updating the injected
+      learning-rate leaf inside the carried optimizer state (no retrace: the
+      update preserves the leaf's weak type).
+    * Early stopping (strict-improvement patience, ``trainer.py`` loop) and
+      the NaN trip set a ``stopped`` flag; later epochs run through a
+      ``lax.cond`` identity branch — semantically the trainer's ``break``.
+    * Per-epoch train/val losses, each epoch's post-step learning rates, and
+      a ``ran`` mask stream out so the host can replay logging, verbose
+      printing, and ``best_epoch_loss`` bookkeeping after the fact.
+
+    On a NaN epoch the scheduler / early-stop state is left untouched
+    (matching the host path, which raises before stepping either).
+
+    Returns a jitted ``fit_fn(params, opt_states, train_data, val_data,
+    base_rng, epoch_idxs, sched_init, es_init) -> (params, opt_states,
+    sched_state, es_state, train_losses, val_losses, lrs, ran)``.
+    ``es_state`` is ``(best, n_no_improve, stopped, nan_seen)``.  Buffers are
+    NOT donated: if the single dispatch fails, the caller's pre-fit params
+    must still be alive.
+    """
+    from collie_tpu.training.optimizers import _find_hyperparams
+
+    def _sched_step(i, state, lr, monitored):
+        kind = sched_kinds[i]
+        if kind == 'plateau':
+            factor, patience, threshold, min_lr = sched_statics[i]
+            best, n_bad = state
+            improved = monitored < best * (1.0 - threshold)
+            best = jnp.where(improved, monitored, best)
+            n_bad = jnp.where(improved, 0, n_bad + 1)
+            reduce = n_bad > patience
+            n_bad = jnp.where(reduce, 0, n_bad)
+            new_lr = jnp.where(reduce, jnp.maximum(lr * factor, min_lr), lr)
+            return (best, n_bad), new_lr
+        step_size, gamma = sched_statics[i]                    # 'steplr'
+        (count,) = state
+        count = count + 1
+        return (count,), jnp.where(count % step_size == 0, lr * gamma, lr)
+
+    def _current_lrs(opt_states):
+        lrs = []
+        for i, st in enumerate(opt_states):
+            if sched_kinds[i] == 'none':
+                lrs.append(jnp.asarray(jnp.nan, jnp.float32))
+            else:
+                lrs.append(jnp.asarray(_find_hyperparams(st)['learning_rate'],
+                                       jnp.float32))
+        return tuple(lrs)
+
+    def fit_fn(params, opt_states, train_data, val_data, base_rng,
+               epoch_idxs, sched_init, es_init):
+
+        def run(carry, epoch_idx):
+            params, opt_states, sched, es = carry
+            params, opt_states, train_loss = train_epoch_fn(
+                params, opt_states, train_data, base_rng, epoch_idx)
+            if monitor_val:
+                val_loss = val_epoch_fn(params, val_data, base_rng, epoch_idx)
+                monitored = val_loss
+            else:
+                val_loss = jnp.asarray(jnp.nan, jnp.float32)
+                monitored = train_loss
+            bad = (~jnp.isfinite(train_loss)) | (~jnp.isfinite(monitored)) \
+                if terminate_on_nan else jnp.asarray(False)
+
+            new_states = list(opt_states)
+            new_sched = []
+            for i in range(len(new_states)):
+                if sched_kinds[i] == 'none':
+                    new_sched.append(sched[i])
+                    continue
+                hp = _find_hyperparams(new_states[i])
+                s, new_lr = _sched_step(i, sched[i], hp['learning_rate'],
+                                        monitored)
+                # NaN epoch: host path raises before stepping the scheduler
+                s = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(bad, old, new), s, sched[i])
+                new_lr = jnp.where(bad, hp['learning_rate'], new_lr)
+                new_sched.append(s)
+                new_states[i] = new_states[i]._replace(
+                    hyperparams={**hp, 'learning_rate': new_lr})
+
+            best_es, n_no, stopped, nan_seen = es
+            improved = monitored < best_es
+            new_best = jnp.where(improved, monitored, best_es)
+            new_n_no = jnp.where(improved, 0, n_no + 1)
+            best_es = jnp.where(bad, best_es, new_best)
+            n_no = jnp.where(bad, n_no, new_n_no)
+            if es_patience is not None:
+                stopped = stopped | ((~bad) & (n_no >= es_patience))
+            nan_seen = nan_seen | bad
+            stopped = stopped | bad
+
+            carry = (params, tuple(new_states), tuple(new_sched),
+                     (best_es, n_no, stopped, nan_seen))
+            return carry, (train_loss, val_loss, _current_lrs(carry[1]),
+                           jnp.asarray(True))
+
+        def skip(carry, epoch_idx):
+            nan = jnp.asarray(jnp.nan, jnp.float32)
+            return carry, (nan, nan, _current_lrs(carry[1]),
+                           jnp.asarray(False))
+
+        def body(carry, epoch_idx):
+            stopped = carry[3][2]
+            return jax.lax.cond(stopped, skip, run, carry, epoch_idx)
+
+        carry0 = (params, opt_states, sched_init, es_init)
+        carry, (train_losses, val_losses, lrs, ran) = jax.lax.scan(
+            body, carry0, epoch_idxs)
+        params, opt_states, sched, es = carry
+        return (params, opt_states, sched, es,
+                train_losses, val_losses, lrs, ran)
+
+    return jax.jit(fit_fn)

@@ -63,6 +63,42 @@ class StepLR:
         return None
 
 
+def scheduler_device_config(scheduler):
+    """Express a host scheduler as ``(kind, static_cfg, init_state)`` for
+    on-device stepping inside the whole-fit scan
+    (``scan_engine.build_scan_fit_fn``), or ``None`` when the scheduler type
+    has no device equivalent (custom objects -> per-epoch host loop)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    if scheduler is None:
+        return ('none', (), ())
+    if isinstance(scheduler, ReduceLROnPlateau):
+        best = np.inf if scheduler.best is None else float(scheduler.best)
+        return ('plateau',
+                (scheduler.factor, scheduler.patience, scheduler.threshold,
+                 scheduler.min_lr),
+                (jnp.asarray(best, jnp.float32),
+                 jnp.asarray(scheduler.num_bad_epochs, jnp.int32)))
+    if isinstance(scheduler, StepLR):
+        return ('steplr', (scheduler.step_size, scheduler.gamma),
+                (jnp.asarray(scheduler._epoch, jnp.int32),))
+    return None
+
+
+def scheduler_absorb_device_state(scheduler, state) -> None:
+    """Write the final on-device scheduler state back into the host object
+    (so checkpoints taken after a whole-fit dispatch stay resumable)."""
+    import numpy as np
+
+    if isinstance(scheduler, ReduceLROnPlateau):
+        best, num_bad = (float(state[0]), int(state[1]))
+        scheduler.best = None if not np.isfinite(best) else best
+        scheduler.num_bad_epochs = num_bad
+    elif isinstance(scheduler, StepLR):
+        scheduler._epoch = int(state[0])
+
+
 def resolve_scheduler(lr_scheduler_func):
     """Normalize the model's ``lr_scheduler_func`` hparam into a fresh
     scheduler instance (or None).

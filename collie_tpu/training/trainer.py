@@ -266,11 +266,182 @@ class CollieTrainer:
         total_examples = state_box['total_examples']
         self.last_fit_examples_per_sec = total_examples / fit_secs if fit_secs > 0 else None
 
+    def _whole_fit_eligible(self, use_scan_train, use_scan_val, monitor_val,
+                            schedulers) -> bool:
+        """Whole-fit single-dispatch eligibility: scan-mode loaders, no
+        per-epoch checkpointing, and device-expressible schedulers.  The
+        per-epoch host sync (loss fetch + scheduler/early-stop decisions) is
+        a full tunnel round trip — 50-80 ms against sub-ms epoch compute at
+        the headline config — so when every per-epoch decision can run on
+        device, the entire fit becomes ONE dispatch
+        (``scan_engine.build_scan_fit_fn``).  ``COLLIE_TPU_WHOLE_FIT=0``
+        forces the per-epoch loop."""
+        import os
+        from collie_tpu.training.schedulers import scheduler_device_config
+        if os.environ.get('COLLIE_TPU_WHOLE_FIT', '1') == '0':
+            return False
+        if not use_scan_train or (monitor_val and not use_scan_val):
+            return False
+        if self.checkpoint_dir is not None:
+            return False
+        return all(scheduler_device_config(s) is not None for s in schedulers)
+
+    def _run_fit_scan(self, *, model, specs, schedulers, monitor_val,
+                      start_epoch, train_epoch_fn, val_epoch_fn,
+                      train_epoch_data, val_epoch_data, base_rng, state_box,
+                      scan_examples):
+        """Dispatch the whole fit as one program, then replay the host-side
+        bookkeeping (prints, logger, best-epoch tracking, NaN raise) from the
+        returned per-epoch loss/lr/ran traces."""
+        from collie_tpu.training.scan_engine import build_scan_fit_fn
+        from collie_tpu.training.schedulers import (
+            scheduler_absorb_device_state, scheduler_device_config)
+
+        cfgs = [scheduler_device_config(s) for s in schedulers]
+        kinds = tuple(c[0] for c in cfgs)
+        statics = tuple(c[1] for c in cfgs)
+        sched_init = tuple(c[2] for c in cfgs)
+
+        num_epochs = self.max_epochs - start_epoch + 1
+        if num_epochs <= 0:
+            return
+        stage = model.current_stage
+        mesh_key = id(self.mesh) if self.mesh is not None else None
+        cache = model._compiled_fn_cache
+
+        def fit_fn_for(block_len):
+            # programs are scan-length-keyed; the power-of-two block ladder
+            # below bounds distinct compilations to log2(max block) per config
+            key = ('fit_scan', stage, mesh_key, block_len, monitor_val,
+                   kinds, statics, self.early_stopping_patience,
+                   self.terminate_on_nan)
+            entry = cache.get(key)
+            if entry is None or entry[0] is not train_epoch_fn \
+                    or entry[1] is not val_epoch_fn:
+                cache[key] = entry = (
+                    train_epoch_fn, val_epoch_fn, build_scan_fit_fn(
+                        train_epoch_fn, val_epoch_fn, monitor_val=monitor_val,
+                        sched_kinds=kinds, sched_statics=statics,
+                        es_patience=self.early_stopping_patience,
+                        terminate_on_nan=self.terminate_on_nan))
+            return entry[2]
+
+        # Greedy power-of-two blocks (largest first, capped at 16): any epoch
+        # count decomposes into a handful of reusable program lengths, and the
+        # per-block host sync (the one remaining tunnel round trip) amortizes
+        # over up to 16 on-device epochs.
+        blocks = []
+        remaining = num_epochs
+        while remaining:
+            b = 16
+            while b > remaining:
+                b //= 2
+            blocks.append(b)
+            remaining -= b
+
+        es_state = (jnp.asarray(self.best_epoch_loss[1], jnp.float32),
+                    jnp.asarray(0, jnp.int32),
+                    jnp.asarray(False), jnp.asarray(False))
+        sched_state = sched_init
+        tl_parts, vl_parts, lrs_parts, ran_parts = [], [], [], []
+        block_start = start_epoch
+        for b in blocks:
+            epoch_idxs = jnp.arange(block_start, block_start + b,
+                                    dtype=jnp.int32)
+            (params, opt_states, sched_state, es_state, train_losses,
+             val_losses, lrs, ran) = fit_fn_for(b)(
+                state_box['params'], state_box['opt_states'],
+                train_epoch_data, val_epoch_data, base_rng, epoch_idxs,
+                sched_state, es_state)
+            state_box['params'] = params
+            state_box['opt_states'] = opt_states
+            # ONE host transfer per block: separate np.asarray calls would
+            # each pay a tunnel round trip
+            tl_h, vl_h, lrs_h, ran_h, stopped_h = jax.device_get(
+                (train_losses, val_losses, lrs, ran, es_state[2]))
+            tl_parts.append(tl_h)
+            vl_parts.append(vl_h)
+            lrs_parts.append(list(lrs_h))
+            ran_parts.append(ran_h)
+            block_start += b
+            if bool(stopped_h):                     # stopped (ES or NaN)
+                break
+
+        sched_state, es_state = jax.device_get((sched_state, es_state))
+        for s, st in zip(schedulers, sched_state):
+            scheduler_absorb_device_state(s, st)
+
+        tl = np.concatenate(tl_parts)
+        vl = np.concatenate(vl_parts)
+        lrs_np = [np.concatenate([p[i] for p in lrs_parts])
+                  for i in range(len(specs))]
+        ran_np = np.concatenate(ran_parts)
+        nan_seen = bool(es_state[3])
+        num_epochs = len(tl)                        # epochs dispatched
+        prev_lrs = [None] * len(specs)
+
+        for j in range(num_epochs):
+            if not ran_np[j]:
+                break
+            epoch = start_epoch + j
+            train_loss = float(tl[j])
+            val_loss = float(vl[j]) if monitor_val else None
+            monitored = val_loss if monitor_val else train_loss
+            state_box['total_examples'] += scan_examples
+            model.hparams['num_epochs_completed'] = epoch
+            self.num_epochs_completed = epoch
+            nan_epoch = not np.isfinite(train_loss) or (
+                monitor_val and not np.isfinite(monitored))
+            if self.terminate_on_nan and nan_epoch:
+                raise FloatingPointError(
+                    f'NaN/Inf train loss at epoch {epoch}.')
+            if self.verbosity > 0:
+                msg = f'Epoch {epoch:>3}: train loss {train_loss:.5f}'
+                if val_loss is not None:
+                    msg += f', val loss {val_loss:.5f}'
+                print(msg)
+            if self.logger is not None:
+                metrics = {'train_loss_epoch': train_loss}
+                if val_loss is not None:
+                    metrics['val_loss_epoch'] = val_loss
+                self.logger.log_metrics(metrics, step=epoch)
+            for i in range(len(specs)):
+                if kinds[i] == 'none':
+                    continue
+                lr_now = float(lrs_np[i][j])
+                if prev_lrs[i] is not None and lr_now != prev_lrs[i] \
+                        and self.verbosity > 0:
+                    print(f'  lr[{specs[i].name}] -> {lr_now:.2e}')
+                prev_lrs[i] = lr_now
+            if monitored < self.best_epoch_loss[1]:
+                self.best_epoch_loss = (epoch, monitored)
+        else:
+            j = num_epochs  # every epoch ran
+
+        if nan_seen:
+            # defensive: the per-epoch replay above should already have raised
+            raise FloatingPointError('NaN/Inf train loss during fit.')
+        stopped_early = bool(es_state[2]) and j < num_epochs
+        if stopped_early and self.verbosity > 0:
+            print(f'Early stopping at epoch {self.num_epochs_completed} '
+                  f'(best epoch {self.best_epoch_loss[0]}, '
+                  f'loss {self.best_epoch_loss[1]:.5f}).')
+
     def _run_epochs(self, *, model, specs, schedulers, monitor_val, start_epoch,
                     use_scan_train, use_scan_val, train_epoch_fn, val_epoch_fn,
                     train_epoch_data, val_epoch_data,
                     train_step, val_step, shard_batch, base_rng, state_box,
                     scan_examples):
+        if self._whole_fit_eligible(use_scan_train, use_scan_val, monitor_val,
+                                    schedulers):
+            self._run_fit_scan(
+                model=model, specs=specs, schedulers=schedulers,
+                monitor_val=monitor_val, start_epoch=start_epoch,
+                train_epoch_fn=train_epoch_fn, val_epoch_fn=val_epoch_fn,
+                train_epoch_data=train_epoch_data,
+                val_epoch_data=val_epoch_data, base_rng=base_rng,
+                state_box=state_box, scan_examples=scan_examples)
+            return
         params = state_box['params']
         opt_states = state_box['opt_states']
         total_examples = state_box['total_examples']

@@ -1,0 +1,143 @@
+"""Whole-fit single-dispatch engine (``scan_engine.build_scan_fit_fn``):
+the on-device plateau scheduler / early stopping / NaN trip must replicate
+the per-epoch host loop exactly — same final params, same lr trajectory,
+same stopping epoch, same raised errors.
+
+``COLLIE_TPU_WHOLE_FIT=0`` forces the host loop; both paths run the same
+jitted epoch programs with the same RNG, so parity is near-bitwise.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.fixtures.model_fixtures import implicit_sets, implicit_train  # noqa: F401
+
+from collie_tpu.data import InteractionsDataLoader
+from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+from collie_tpu.training.trainer import CollieTrainer
+
+
+def _fit(implicit_train, monkeypatch, whole_fit, *, epochs=6, lr=1e-1,
+         patience=None, nan_guard=False, scheduler='default', val=None,
+         loss='adaptive', **model_kwargs):
+    monkeypatch.setenv('COLLIE_TPU_WHOLE_FIT', '1' if whole_fit else '0')
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=1024, shuffle=True, seed=0)
+    kwargs = dict(model_kwargs)
+    if scheduler != 'default':
+        kwargs['lr_scheduler_func'] = scheduler
+    model = MatrixFactorizationModel(train=loader, val=val, embedding_dim=8,
+                                     lr=lr, loss=loss, seed=0, **kwargs)
+    trainer = CollieTrainer(model, max_epochs=epochs, verbosity=0, seed=0,
+                            early_stopping_patience=patience,
+                            terminate_on_nan=nan_guard)
+    trainer.fit(model)
+    params = {k: np.asarray(v) for k, v in model.params.items()}
+    return params, trainer, model
+
+
+def test_whole_fit_matches_per_epoch_loop(implicit_train, monkeypatch):
+    p1, t1, m1 = _fit(implicit_train, monkeypatch, True)
+    p0, t0, m0 = _fit(implicit_train, monkeypatch, False)
+    for k in p0:
+        np.testing.assert_allclose(p1[k], p0[k], rtol=0, atol=1e-6,
+                                   err_msg=f'param {k}')
+    assert m1.hparams['num_epochs_completed'] == \
+        m0.hparams['num_epochs_completed'] == 6
+    assert t1.best_epoch_loss[0] == t0.best_epoch_loss[0]
+    np.testing.assert_allclose(t1.best_epoch_loss[1], t0.best_epoch_loss[1],
+                               rtol=1e-6)
+
+
+def test_whole_fit_scheduler_lr_trajectory(implicit_train, monkeypatch,
+                                           capsys):
+    """The default MF plateau scheduler (patience=1) must fire at the same
+    epochs and leave the same final lr under both engines."""
+    from collie_tpu.training.optimizers import get_lr
+
+    def final_lrs(whole_fit):
+        monkeypatch.setenv('COLLIE_TPU_WHOLE_FIT', '1' if whole_fit else '0')
+        loader = InteractionsDataLoader(interactions=implicit_train,
+                                        batch_size=1024, shuffle=True, seed=0)
+        model = MatrixFactorizationModel(train=loader, embedding_dim=8,
+                                         lr=1e-1, loss='adaptive', seed=0)
+        trainer = CollieTrainer(model, max_epochs=10, verbosity=1, seed=0)
+        trainer.fit(model)
+        out = capsys.readouterr().out
+        lr_lines = [l.strip() for l in out.splitlines() if 'lr[' in l]
+        return lr_lines, out.count('Epoch ')
+
+    lines1, n1 = final_lrs(True)
+    lines0, n0 = final_lrs(False)
+    assert n1 == n0 == 10
+    assert lines1 == lines0
+
+
+def test_whole_fit_early_stopping(implicit_train, monkeypatch):
+    """All-zero lrs freeze the params; the epoch loss still varies by the
+    per-epoch RNG (shuffle + negatives) so improvement is random — both
+    engines must stop at the SAME epoch with the same best."""
+    p1, t1, m1 = _fit(implicit_train, monkeypatch, True, epochs=20, lr=0.0,
+                      bias_lr=0.0, patience=2, scheduler=None)
+    p0, t0, m0 = _fit(implicit_train, monkeypatch, False, epochs=20, lr=0.0,
+                      bias_lr=0.0, patience=2, scheduler=None)
+    assert m1.hparams['num_epochs_completed'] == \
+        m0.hparams['num_epochs_completed'] < 20
+    assert t1.best_epoch_loss[0] == t0.best_epoch_loss[0]
+
+
+def test_whole_fit_nan_guard(implicit_train, monkeypatch):
+    """A divergent lr must raise FloatingPointError from both engines."""
+    for whole_fit in (True, False):
+        with pytest.raises(FloatingPointError):
+            _fit(implicit_train, monkeypatch, whole_fit, epochs=10, lr=1e18,
+                 nan_guard=True, scheduler=None)
+
+
+def test_whole_fit_with_validation(implicit_sets, monkeypatch):
+    """val-loss monitoring: both engines track the same monitored metric."""
+    train, val = implicit_sets
+    p1, t1, m1 = _fit(train, monkeypatch, True, val=val, epochs=4)
+    p0, t0, m0 = _fit(train, monkeypatch, False, val=val, epochs=4)
+    for k in p0:
+        np.testing.assert_allclose(p1[k], p0[k], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(t1.best_epoch_loss[1], t0.best_epoch_loss[1],
+                               rtol=1e-6)
+
+
+def test_whole_fit_logger_replay(implicit_train, monkeypatch):
+    """Per-epoch logger metrics are replayed post-dispatch in epoch order."""
+    class Rec:
+        def __init__(self):
+            self.rows = []
+
+        def log_metrics(self, metrics, step=None):
+            self.rows.append((step, dict(metrics)))
+
+    monkeypatch.setenv('COLLIE_TPU_WHOLE_FIT', '1')
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=1024, shuffle=True, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0)
+    rec = Rec()
+    CollieTrainer(model, max_epochs=3, verbosity=0, seed=0,
+                  logger=rec).fit(model)
+    assert [r[0] for r in rec.rows] == [1, 2, 3]
+    assert all('train_loss_epoch' in r[1] for r in rec.rows)
+
+
+def test_whole_fit_repeat_fit_continues_epochs(implicit_train, monkeypatch):
+    """trainer.max_epochs += n; fit(model) resumes from
+    num_epochs_completed+1 — the bench.py warm/steady idiom."""
+    monkeypatch.setenv('COLLIE_TPU_WHOLE_FIT', '1')
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=1024, shuffle=True, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0)
+    trainer = CollieTrainer(model, max_epochs=1, verbosity=0, seed=0)
+    trainer.fit(model)
+    assert model.hparams['num_epochs_completed'] == 1
+    trainer.max_epochs = 4
+    trainer.fit(model)
+    assert model.hparams['num_epochs_completed'] == 4
