@@ -192,6 +192,10 @@ class HDF5InteractionsDataLoader(BaseInteractionsDataLoader):
                  seed: Optional[int] = None,
                  **interactions_kwargs):
         if interactions is None:
+            # forward the loader's seed: HDF5Interactions would otherwise
+            # fall back to a seconds-resolution time seed and a seeded loader
+            # would still sample irreproducible negatives
+            interactions_kwargs.setdefault('seed', seed)
             interactions = HDF5Interactions(hdf5_path=hdf5_path, shuffle=shuffle,
                                             **interactions_kwargs)
         self.interactions = interactions

@@ -152,7 +152,7 @@ class CollieTrainer:
                 '(HDF5/out-of-core and custom loaders must use the per-step path).'
             )
 
-        train_step = val_step = None
+        train_step = val_step = train_chunk = None
         train_epoch_fn = val_epoch_fn = None
         # compiled-function cache lives on the model (keyed by stage + mesh),
         # so the multi-stage ``fit -> advance_stage -> fit`` idiom and repeat
@@ -188,7 +188,7 @@ class CollieTrainer:
             key = ('steps', stage, mesh_key)
             if key not in cache:
                 cache[key] = self._build_steps(model, specs, active)
-            train_step, val_step = cache[key]
+            train_step, val_step, train_chunk = cache[key]
 
         shard_batch = lambda b: b  # noqa: E731
         if self.mesh is not None:
@@ -251,6 +251,7 @@ class CollieTrainer:
                 train_epoch_data=train_epoch_data if use_scan_train else None,
                 val_epoch_data=val_epoch_data if use_scan_val else None,
                 train_step=train_step, val_step=val_step,
+                train_chunk=train_chunk,
                 shard_batch=shard_batch, base_rng=base_rng,
                 state_box=(state_box := {'params': params,
                                          'opt_states': opt_states,
@@ -430,8 +431,8 @@ class CollieTrainer:
     def _run_epochs(self, *, model, specs, schedulers, monitor_val, start_epoch,
                     use_scan_train, use_scan_val, train_epoch_fn, val_epoch_fn,
                     train_epoch_data, val_epoch_data,
-                    train_step, val_step, shard_batch, base_rng, state_box,
-                    scan_examples):
+                    train_step, val_step, train_chunk=None, shard_batch,
+                    base_rng, state_box, scan_examples):
         if self._whole_fit_eligible(use_scan_train, use_scan_val, monitor_val,
                                     schedulers):
             self._run_fit_scan(
@@ -457,20 +458,12 @@ class CollieTrainer:
                 train_loss = float(epoch_loss)
                 total_examples += scan_examples
             else:
-                losses = []
-                for batch in model.train_loader:
-                    batch = shard_batch(batch)
-                    params, opt_states, loss = train_step(
-                        params, opt_states, batch, base_rng, np.int32(self.global_step))
-                    losses.append(loss)
-                    total_examples += int(batch['mask'].sum()) if 'mask' in batch \
-                        else len(batch['users'])
-                    self.global_step += 1
-                    if self.logger is not None and \
-                            self.global_step % self.log_every_n_steps == 0:
-                        self.logger.log_metrics({'train_loss_step': float(loss)},
-                                                step=self.global_step)
-                train_loss = float(jnp.mean(jnp.stack(losses)))
+                params, opt_states, train_loss, total_examples = \
+                    self._per_step_epoch(
+                        model=model, params=params, opt_states=opt_states,
+                        train_step=train_step, train_chunk=train_chunk,
+                        shard_batch=shard_batch, base_rng=base_rng,
+                        total_examples=total_examples)
 
             state_box['params'] = params
             state_box['opt_states'] = opt_states
@@ -542,6 +535,86 @@ class CollieTrainer:
 
 
 
+    def _per_step_epoch(self, *, model, params, opt_states, train_step,
+                        train_chunk, shard_batch, base_rng, total_examples):
+        """One epoch through the per-step path, grouping consecutive
+        same-shape batches into ``lax.scan`` chunks of
+        ``COLLIE_TPU_STEP_SCAN_GROUP`` (default 16) steps — one dispatch per
+        group instead of per batch, which matters on tunneled TPUs where a
+        dispatch costs ~2 ms.  Ragged batches and group tails run through the
+        single-step program (bit-identical RNG: the chunk folds
+        ``step0 + i``), and the mesh path keeps per-step dispatch (batch
+        sharding is per-batch)."""
+        import os
+
+        G = int(os.environ.get('COLLIE_TPU_STEP_SCAN_GROUP', '16'))
+        use_chunk = train_chunk is not None and self.mesh is None and G > 1
+        losses = []
+        group = []
+
+        def run_single(batch):
+            nonlocal params, opt_states, total_examples
+            n_real = int(batch['mask'].sum()) if 'mask' in batch \
+                else len(batch['users'])
+            batch = shard_batch(batch)
+            params, opt_states, loss = train_step(
+                params, opt_states, batch, base_rng,
+                np.int32(self.global_step))
+            losses.append(jnp.reshape(loss, (1,)))
+            total_examples += n_real
+            self.global_step += 1
+            if self.logger is not None and \
+                    self.global_step % self.log_every_n_steps == 0:
+                self.logger.log_metrics({'train_loss_step': float(loss)},
+                                        step=self.global_step)
+
+        def flush_group():
+            nonlocal params, opt_states, total_examples
+            if len(group) < 2:
+                for b in group:
+                    run_single(b)
+                group.clear()
+                return
+            stacked = {k: np.stack([b[k] for b in group])
+                       for k in group[0]}
+            step0 = self.global_step
+            params, opt_states, chunk_losses = train_chunk(
+                params, opt_states, stacked, base_rng, np.int32(step0))
+            losses.append(chunk_losses)
+            for j, b in enumerate(group):
+                total_examples += int(b['mask'].sum()) if 'mask' in b \
+                    else len(b['users'])
+            self.global_step += len(group)
+            if self.logger is not None:
+                host_losses = None
+                for j in range(len(group)):
+                    step = step0 + 1 + j
+                    if step % self.log_every_n_steps == 0:
+                        if host_losses is None:
+                            host_losses = np.asarray(chunk_losses)
+                        self.logger.log_metrics(
+                            {'train_loss_step': float(host_losses[j])},
+                            step=step)
+            group.clear()
+
+        for batch in model.train_loader:
+            if not use_chunk:
+                run_single(batch)
+                continue
+            if group and (batch.keys() != group[0].keys() or any(
+                    np.shape(batch[k]) != np.shape(group[0][k])
+                    or np.asarray(batch[k]).dtype != np.asarray(group[0][k]).dtype
+                    for k in group[0])):
+                flush_group()
+            group.append(batch)
+            if len(group) == G:
+                flush_group()
+        if group:
+            flush_group()
+
+        train_loss = float(jnp.mean(jnp.concatenate(losses)))
+        return params, opt_states, train_loss, total_examples
+
     # ------------------------------------------------------------ step build
 
     @staticmethod
@@ -573,10 +646,28 @@ class CollieTrainer:
         def val_step(params, batch):
             return model.calculate_loss(params, batch, rng=None, training=False)
 
+        def train_chunk(params, opt_states, batches, base_rng, step0):
+            """``lax.scan`` over a ``[G, ...]`` stack of fixed-shape batches:
+            one dispatch per G per-step updates for loaders the whole-epoch
+            engine cannot scan (HDF5 / out-of-core / custom).  RNG per inner
+            step is ``fold_in(base_rng, step0 + i)`` — identical to G calls
+            of ``train_step`` at consecutive global steps."""
+            def body(carry, batch):
+                params, opt_states, i = carry
+                params, opt_states, loss = train_step(params, opt_states,
+                                                      batch, base_rng,
+                                                      step0 + i)
+                return (params, opt_states, i + 1), loss
+
+            (params, opt_states, _), losses = jax.lax.scan(
+                body, (params, opt_states, jnp.int32(0)), batches)
+            return params, opt_states, losses
+
         donate = (0, 1)
         jit_kwargs: Dict[str, Any] = {}
         return (jax.jit(train_step, donate_argnums=donate, **jit_kwargs),
-                jax.jit(val_step, **jit_kwargs))
+                jax.jit(val_step, **jit_kwargs),
+                jax.jit(train_chunk, donate_argnums=donate, **jit_kwargs))
 
 
 class CollieMinimalTrainer(CollieTrainer):

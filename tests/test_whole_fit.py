@@ -141,3 +141,79 @@ def test_whole_fit_repeat_fit_continues_epochs(implicit_train, monkeypatch):
     trainer.max_epochs = 4
     trainer.fit(model)
     assert model.hparams['num_epochs_completed'] == 4
+
+
+def test_step_scan_group_matches_per_step(implicit_train, monkeypatch):
+    """The grouped-step lax.scan path (per-step engine, G=16) must train to
+    the same params as true per-batch dispatch (G=1): identical RNG stream
+    (fold_in(base, step0+i)), identical updates."""
+    def run(group):
+        monkeypatch.setenv('COLLIE_TPU_STEP_SCAN_GROUP', group)
+        loader = InteractionsDataLoader(interactions=implicit_train,
+                                        batch_size=1024, shuffle=True, seed=0)
+        model = MatrixFactorizationModel(train=loader, embedding_dim=8,
+                                         lr=1e-1, loss='adaptive', seed=0)
+        trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=0,
+                                epoch_mode='step')
+        trainer.fit(model)
+        assert trainer.global_step == 2 * len(loader)
+        return {k: np.asarray(v) for k, v in model.params.items()}
+
+    p_chunk = run('16')
+    p_single = run('1')
+    for k in p_single:
+        np.testing.assert_allclose(p_chunk[k], p_single[k], rtol=0, atol=1e-6,
+                                   err_msg=f'param {k}')
+
+
+def test_hdf5_loader_seed_reaches_interactions(tmp_path):
+    """A seeded HDF5InteractionsDataLoader must construct a seeded
+    HDF5Interactions: without forwarding, the interactions fell back to a
+    seconds-resolution time seed and two identically-seeded loaders sampled
+    different negatives (caught while validating the grouped-step engine)."""
+    from collie_tpu.data import HDF5InteractionsDataLoader
+    from collie_tpu.data.synthetic import generate_interactions_df
+    from collie_tpu.utils import pandas_df_to_hdf5
+
+    df = generate_interactions_df(seed=3)
+    path = str(tmp_path / 'inter.h5')
+    pandas_df_to_hdf5(df, path)
+
+    def stream():
+        loader = HDF5InteractionsDataLoader(
+            hdf5_path=path, batch_size=1024, shuffle=True, seed=7,
+            num_users=943, num_items=1682, num_negative_samples=4)
+        assert loader.interactions.seed == 7
+        return [{k: np.asarray(v).copy() for k, v in b.items()}
+                for b in loader]
+
+    a, b = stream(), stream()
+    for x, y in zip(a, b):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+
+
+def test_hdf5_chunked_steps_match_per_step(tmp_path, monkeypatch):
+    """Out-of-core training through the grouped-step scan (incl. the tail
+    chunk) matches per-batch dispatch bit-for-bit."""
+    from collie_tpu.data import HDF5InteractionsDataLoader
+    from collie_tpu.data.synthetic import generate_interactions_df
+    from collie_tpu.utils import pandas_df_to_hdf5
+
+    df = generate_interactions_df(seed=3)
+    path = str(tmp_path / 'inter.h5')
+    pandas_df_to_hdf5(df, path)
+
+    def run(group):
+        monkeypatch.setenv('COLLIE_TPU_STEP_SCAN_GROUP', group)
+        loader = HDF5InteractionsDataLoader(
+            hdf5_path=path, batch_size=1024, shuffle=True, seed=0,
+            num_users=943, num_items=1682, num_negative_samples=4)
+        model = MatrixFactorizationModel(train=loader, embedding_dim=8,
+                                         lr=1e-1, loss='adaptive', seed=0)
+        CollieTrainer(model, max_epochs=2, verbosity=0, seed=0).fit(model)
+        return {k: np.asarray(v) for k, v in model.params.items()}
+
+    p_chunk, p_single = run('16'), run('1')
+    for k in p_single:
+        np.testing.assert_allclose(p_chunk[k], p_single[k], rtol=0, atol=1e-6)
