@@ -28,6 +28,7 @@ Behavioral parity preserved from the reference:
   optimizer state, no datasets (``:880-900``).
 """
 import json
+import os
 import warnings
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, List, Optional, Union
@@ -305,17 +306,45 @@ class BasePipeline:
             pos_preds = self.score(params, users, pos_items, training=training, rng=rng_pos)
 
             K, B = neg_items.shape
-            users_repeated = jnp.tile(users, K)
-            neg_preds = self.score(params, users_repeated, neg_items.reshape(-1),
-                                   training=training, rng=rng_neg).reshape(K, B)
-            if K == 1:
-                neg_preds = neg_preds[0]
-                neg_items_for_loss = neg_items[0]
+            loss_function = self.loss_function
+
+            if K > 1 and training and self._adaptive_base_loss() is not None \
+                    and self._score_is_deterministic():
+                # Sparse-hardest backward: the adaptive losses' gradient only
+                # flows to the argmax negative, yet autodiff-through-max still
+                # scatter-adds K*B mostly-zero rows into the item table (the
+                # single largest per-step cost at large catalogs - measured
+                # 895us of a 3.85ms step at the ML-10M config).  Score all K
+                # negatives WITHOUT gradient, then re-score only the hardest
+                # one with gradient: the backward touches B rows instead of
+                # K*B.  Matches the adaptive loss exactly (same argmax, same
+                # scores) up to float associativity; gradients agree except on
+                # exact score ties (a measure-zero subgradient choice).
+                # Requires a deterministic score() - dropout would decouple the
+                # argmax pass from the re-scoring pass.
+                neg_preds_ng = jax.lax.stop_gradient(
+                    self.score(params, jnp.tile(users, K),
+                               neg_items.reshape(-1), training=training,
+                               rng=rng_neg)).reshape(K, B)
+                highest_idx = jnp.argmax(neg_preds_ng, axis=0)
+                hardest_items = neg_items[highest_idx, jnp.arange(B)]
+                neg_preds = self.score(params, users, hardest_items,
+                                       training=training, rng=rng_neg)
+                neg_items_for_loss = hardest_items
+                loss_function = self._adaptive_base_loss()
             else:
-                neg_items_for_loss = neg_items
+                users_repeated = jnp.tile(users, K)
+                neg_preds = self.score(params, users_repeated,
+                                       neg_items.reshape(-1),
+                                       training=training, rng=rng_neg).reshape(K, B)
+                if K == 1:
+                    neg_preds = neg_preds[0]
+                    neg_items_for_loss = neg_items[0]
+                else:
+                    neg_items_for_loss = neg_items
 
             return _call_loss(
-                self.loss_function,
+                loss_function,
                 pos_preds,
                 neg_preds,
                 num_items=self.hparams['num_items'],
@@ -328,15 +357,38 @@ class BasePipeline:
         if 'ratings' in batch:
             if self.hparams.get('_is_implicit') is True:
                 raise ValueError('Implicit loss with explicit data is invalid!')
-            users = batch['users']
-            items = batch['items']
-            ratings = batch['ratings'].astype(jnp.float32)
-            preds = self.score(params, users, items, training=training, rng=rng)
-            try:
-                return self.loss_function(preds, ratings, sample_weights=mask)
-            except TypeError:
-                return self.loss_function(preds, ratings)
+            return self._explicit_loss(params, batch, rng, training, mask)
         raise ValueError(f'Unexpected format for batch with keys: {sorted(batch)}.')
+
+    _DROPOUT_HPARAMS = ('dropout_p', 'dense_dropout_p', 'embedding_dropout_p')
+
+    def _score_is_deterministic(self) -> bool:
+        """True when ``score()`` ignores its rng (no active dropout), so two
+        scoring passes over the same pairs agree - the precondition for the
+        sparse-hardest backward in ``calculate_loss``."""
+        return all(not self.hparams.get(name) for name in self._DROPOUT_HPARAMS)
+
+    def _adaptive_base_loss(self):
+        """The non-adaptive loss an adaptive loss delegates to after hardest-
+        negative selection (``None`` when the sparse-hardest rewrite does not
+        apply).  Env ``COLLIE_TPU_SPARSE_ADAPTIVE=0`` disables the rewrite."""
+        if os.environ.get('COLLIE_TPU_SPARSE_ADAPTIVE', '1') == '0':
+            return None
+        if self.loss_function is loss_lib.adaptive_hinge_loss:
+            return loss_lib.hinge_loss
+        if self.loss_function is loss_lib.adaptive_bpr_loss:
+            return loss_lib.bpr_loss
+        return None
+
+    def _explicit_loss(self, params, batch, rng, training, mask):
+        users = batch['users']
+        items = batch['items']
+        ratings = batch['ratings'].astype(jnp.float32)
+        preds = self.score(params, users, items, training=training, rng=rng)
+        try:
+            return self.loss_function(preds, ratings, sample_weights=mask)
+        except TypeError:
+            return self.loss_function(preds, ratings)
 
     # ----------------------------------------------------------- optimizers
 

@@ -27,6 +27,12 @@ from collie_tpu.training.scan_engine import (_fused_epoch_config,
 def _train_epochs(implicit_train, monkeypatch, fused: bool, *, loss='adaptive',
                   epochs=3, batch_size=1024, dim=8, lr=1e-1):
     monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '1' if fused else '0')
+    # like-for-like reference: the kernel mirrors the *dense* adaptive
+    # computation, while the scan engine defaults to the sparse-hardest
+    # backward (same values, different scatter accumulation order — drifts
+    # past tolerance over multiple Adam epochs; its own parity is covered by
+    # tests/test_sparse_adaptive.py)
+    monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE', '0')
     loader = InteractionsDataLoader(interactions=implicit_train,
                                     batch_size=batch_size, shuffle=True,
                                     seed=0)

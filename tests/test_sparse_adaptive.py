@@ -1,0 +1,124 @@
+"""Sparse-hardest backward for adaptive losses: the rewrite in
+``BasePipeline.calculate_loss`` (score K negatives grad-free, re-score only
+the argmax negative with gradient) must match the dense adaptive path in both
+loss value and gradients, and must stay disabled whenever its preconditions
+(deterministic score, training, K>1) fail."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from collie_tpu.data import InteractionsDataLoader
+from collie_tpu.models import MatrixFactorizationModel
+from collie_tpu.ops import losses as loss_lib
+from tests.fixtures.model_fixtures import implicit_sets, implicit_train  # noqa: F401
+
+
+def _batch(model, B=64, K=5, seed=0):
+    rng = np.random.default_rng(seed)
+    U = model.hparams['num_users']
+    I = model.hparams['num_items']
+    return {
+        'users': jnp.asarray(rng.integers(0, U, B, dtype=np.int32)),
+        'pos_items': jnp.asarray(rng.integers(0, I, B, dtype=np.int32)),
+        'neg_items': jnp.asarray(rng.integers(0, I, (B, K), dtype=np.int32)),
+        'mask': jnp.asarray(rng.integers(0, 2, B).astype(np.float32)),
+    }
+
+
+@pytest.mark.parametrize('loss', ['adaptive', 'adaptive_bpr'])
+def test_sparse_hardest_matches_dense(implicit_train, monkeypatch, loss):  # noqa: F811
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=64, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss=loss, seed=0)
+    assert model._adaptive_base_loss() is not None
+    batch = _batch(model)
+
+    def grads(sparse_on):
+        monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE',
+                           '1' if sparse_on else '0')
+        fn = lambda p: model.calculate_loss(p, batch, rng=None, training=True)  # noqa: E731
+        return jax.value_and_grad(fn)(model.params)
+
+    v_sparse, g_sparse = grads(True)
+    v_dense, g_dense = grads(False)
+    np.testing.assert_allclose(float(v_sparse), float(v_dense), rtol=1e-6)
+    for k in g_dense:
+        np.testing.assert_allclose(np.asarray(g_sparse[k]),
+                                   np.asarray(g_dense[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_sparse_hardest_with_metadata(implicit_train, monkeypatch):  # noqa: F811
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=64, seed=0)
+    num_items = loader.num_items
+    meta = {'genre': np.arange(num_items) % 3}
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0,
+                                     metadata_for_loss=meta,
+                                     metadata_for_loss_weights={'genre': 0.3})
+    batch = _batch(model)
+
+    def val(sparse_on):
+        monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE',
+                           '1' if sparse_on else '0')
+        return float(model.calculate_loss(model.params, batch, rng=None,
+                                          training=True))
+
+    np.testing.assert_allclose(val(True), val(False), rtol=1e-6)
+
+
+def test_sparse_hardest_preconditions(implicit_train):  # noqa: F811
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=64, seed=0)
+    dropout = MatrixFactorizationModel(train=loader, embedding_dim=8,
+                                       dropout_p=0.25, loss='adaptive', seed=0)
+    assert not dropout._score_is_deterministic()
+
+    plain = MatrixFactorizationModel(train=loader, embedding_dim=8,
+                                     loss='adaptive', seed=0)
+    assert plain._score_is_deterministic()
+
+    # 'hinge' auto-upgrades to adaptive at K>1 (reference semantics), so the
+    # rewrite applies to it too; WARP keeps the dense path (uses all trials)
+    hinge = MatrixFactorizationModel(train=loader, embedding_dim=8,
+                                     loss='hinge', seed=0)
+    assert hinge._adaptive_base_loss() is loss_lib.hinge_loss
+
+    warp = MatrixFactorizationModel(train=loader, embedding_dim=8,
+                                    loss='warp', seed=0)
+    assert warp._adaptive_base_loss() is None
+
+    # K=1 downgrades to plain hinge - dense path
+    from collie_tpu.data import Interactions
+    inter1 = Interactions(mat=implicit_train.mat, num_negative_samples=1,
+                          allow_missing_ids=True, seed=0)
+    loader1 = InteractionsDataLoader(interactions=inter1, batch_size=64,
+                                     seed=0)
+    with pytest.warns(UserWarning, match='standard hinge'):
+        k1 = MatrixFactorizationModel(train=loader1, embedding_dim=8,
+                                      loss='adaptive', seed=0)
+    assert k1._adaptive_base_loss() is None
+
+
+def test_sparse_hardest_end_to_end_training(implicit_train, monkeypatch):  # noqa: F811
+    """Whole fits through both paths land on statistically identical params
+    when gradients agree (same seeds, same data)."""
+    from collie_tpu.training import CollieTrainer
+
+    def run(flag):
+        monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE', flag)
+        loader = InteractionsDataLoader(interactions=implicit_train,
+                                        batch_size=1024, shuffle=True, seed=0)
+        model = MatrixFactorizationModel(train=loader, embedding_dim=8,
+                                         lr=1e-1, loss='adaptive', seed=0)
+        CollieTrainer(model, max_epochs=2, verbosity=0, seed=0).fit(model)
+        return {k: np.asarray(v) for k, v in model.params.items()}
+
+    p_sparse = run('1')
+    p_dense = run('0')
+    for k in p_dense:
+        np.testing.assert_allclose(p_sparse[k], p_dense[k], atol=5e-4,
+                                   err_msg=k)
