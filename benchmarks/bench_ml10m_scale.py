@@ -63,17 +63,28 @@ def main():
                                      embedding_dim=args.embedding_dim,
                                      lr=1e-1, loss='adaptive', seed=7)
     untrained_map = None  # filled after the eval subset is built
-    trainer = CollieTrainer(model, max_epochs=1, verbosity=0, seed=7)
+    # Warm fit compiles the EXACT steady programs: the whole-fit engine keys
+    # compiled programs by power-of-two epoch-block length, so warming with a
+    # different epoch count than the timed fit leaves a 30-90 s remote XLA
+    # block compile inside the "steady" window (the round-2 849k-vs-1.7M
+    # discrepancy root-caused in docs/BENCHMARKS.md).  Warm and timed fits are
+    # identical (same seeds, same epoch count) — the timed one re-runs cached
+    # programs only.
+    trainer = CollieTrainer(model, max_epochs=args.epochs, verbosity=0, seed=7)
     t0 = time.perf_counter()
     trainer.fit(model)
-    print(f'epoch 1 (incl. compile): {time.perf_counter() - t0:.1f}s', flush=True)
+    print(f'warm fit ({args.epochs} epochs incl. all compiles): '
+          f'{time.perf_counter() - t0:.1f}s', flush=True)
 
-    trainer.max_epochs = args.epochs
+    model.hparams['num_epochs_completed'] = 0
+    model.hparams['seed'] = 7
+    model._setup_model()                        # fresh params, warm caches
+    trainer = CollieTrainer(model, max_epochs=args.epochs, verbosity=0, seed=7)
     t0 = time.perf_counter()
     trainer.fit(model)
     steady = time.perf_counter() - t0
-    eps = len(train) * (args.epochs - 1) / steady
-    print(f'steady: {steady:.1f}s for {args.epochs - 1} epochs -> '
+    eps = len(train) * args.epochs / steady
+    print(f'steady: {steady:.1f}s for {args.epochs} epochs -> '
           f'{eps:,.0f} examples/sec/chip', flush=True)
 
     # evaluate on a user subsample to bound the dense relevance block
