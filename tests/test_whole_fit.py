@@ -143,6 +143,30 @@ def test_whole_fit_repeat_fit_continues_epochs(implicit_train, monkeypatch):
     assert model.hparams['num_epochs_completed'] == 4
 
 
+def test_whole_fit_identical_refit_reuses_programs(implicit_train,
+                                                   monkeypatch):
+    """A second identical fit() must re-run cached epoch-block programs, not
+    build new ones: whole-fit programs are keyed by power-of-two block
+    length, and a fresh compile inside a timed window silently deflated the
+    ML-10M benchmark by 2.3x (root cause in docs/BENCHMARKS.md). Guards the
+    warm-fit-then-time methodology bench.py and bench_ml10m_scale.py rely on."""
+    monkeypatch.setenv('COLLIE_TPU_WHOLE_FIT', '1')
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=1024, shuffle=True, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0)
+    trainer = CollieTrainer(model, max_epochs=3, verbosity=0, seed=0)
+    trainer.fit(model)
+    keys_after_warm = set(model._compiled_fn_cache)
+    assert any(k[0] == 'fit_scan' for k in keys_after_warm)
+
+    model.hparams['num_epochs_completed'] = 0
+    model._setup_model()
+    trainer = CollieTrainer(model, max_epochs=3, verbosity=0, seed=0)
+    trainer.fit(model)
+    assert set(model._compiled_fn_cache) == keys_after_warm
+
+
 def test_step_scan_group_matches_per_step(implicit_train, monkeypatch):
     """The grouped-step lax.scan path (per-step engine, G=16) must train to
     the same params as true per-batch dispatch (G=1): identical RNG stream
