@@ -332,6 +332,29 @@ class BasePipeline:
                                        training=training, rng=rng_neg)
                 neg_items_for_loss = hardest_items
                 loss_function = self._adaptive_base_loss()
+            elif K > 1 and training and self._sparse_selection_enabled() \
+                    and self.loss_function is loss_lib.warp_loss \
+                    and self._score_is_deterministic():
+                # WARP's gradient likewise only reaches the FIRST VIOLATING
+                # negative per row: run the first-violation scan on grad-free
+                # scores and re-score only the selected negative (same B-row
+                # backward as the adaptive rewrite above).
+                neg_preds_ng = jax.lax.stop_gradient(
+                    self.score(params, jnp.tile(users, K),
+                               neg_items.reshape(-1), training=training,
+                               rng=rng_neg)).reshape(K, B)
+                return loss_lib.warp_loss_sparse(
+                    pos_preds,
+                    neg_preds_ng,
+                    rescore=lambda items: self.score(
+                        params, users, items, training=training, rng=rng_neg),
+                    num_items=self.hparams['num_items'],
+                    positive_items=pos_items,
+                    negative_items=neg_items,
+                    metadata=self.metadata_for_loss,
+                    metadata_weights=self.metadata_for_loss_weights,
+                    sample_weights=mask,
+                )
             else:
                 users_repeated = jnp.tile(users, K)
                 neg_preds = self.score(params, users_repeated,
@@ -368,11 +391,17 @@ class BasePipeline:
         sparse-hardest backward in ``calculate_loss``."""
         return all(not self.hparams.get(name) for name in self._DROPOUT_HPARAMS)
 
+    @staticmethod
+    def _sparse_selection_enabled() -> bool:
+        """Env ``COLLIE_TPU_SPARSE_ADAPTIVE=0`` disables the sparse-backward
+        rewrites (adaptive hardest-negative and WARP first-violation)."""
+        return os.environ.get('COLLIE_TPU_SPARSE_ADAPTIVE', '1') != '0'
+
     def _adaptive_base_loss(self):
         """The non-adaptive loss an adaptive loss delegates to after hardest-
         negative selection (``None`` when the sparse-hardest rewrite does not
         apply).  Env ``COLLIE_TPU_SPARSE_ADAPTIVE=0`` disables the rewrite."""
-        if os.environ.get('COLLIE_TPU_SPARSE_ADAPTIVE', '1') == '0':
+        if not self._sparse_selection_enabled():
             return None
         if self.loss_function is loss_lib.adaptive_hinge_loss:
             return loss_lib.hinge_loss

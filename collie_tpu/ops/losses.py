@@ -24,6 +24,7 @@ loss into the surrounding backward pass with no host round-trips.
 """
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import nn as jnn
 
@@ -198,12 +199,25 @@ def warp_loss(positive_scores: jnp.ndarray,
     # hinge value per (row, trial): [B, K]
     hinge = ideal_difference - positive_scores[:, None] + many_negative_scores.T
 
-    # sentinel column of ones marks "ran out of attempts" (``warp.py:104-109``)
+    first_violation_idx, first_violation_value, loss_weights, \
+        should_count_loss = _warp_first_violation(hinge, num_items)
+
+    loss = loss_weights * first_violation_value * should_count_loss
+    return _composite_reduction(loss, batch_size, sample_weights)
+
+
+def _warp_first_violation(hinge: jnp.ndarray, num_items: int):
+    """The first-violation scan shared by :func:`warp_loss` and
+    :func:`warp_loss_sparse` — functional form of the reference's
+    ``_find_first_loss_violation`` + weight/sentinel machinery
+    (``warp.py:104-154``).  ``hinge`` is ``[B, K]``; returns
+    ``(first_violation_idx, first_violation_value, loss_weights,
+    should_count_loss)``, each ``[B]``.  ``first_violation_idx == K`` selects
+    the sentinel ones-column ("ran out of attempts"; value 1.0, counted 0)."""
+    batch_size, max_trials = hinge.shape
     ones = jnp.ones((batch_size, 1), dtype=hinge.dtype)
     hinge_with_ones = jnp.concatenate([hinge, ones], axis=1)
 
-    # first violation: argmax of binary violations weighted by reversed position
-    # (functional form of ``_find_first_loss_violation``, ``warp.py:136-154``)
     violations = (hinge_with_ones > 0).astype(hinge.dtype)
     reverse_positions = jnp.arange(max_trials + 1, 0, -1, dtype=hinge.dtype)
     first_violation_idx = jnp.argmax(violations * reverse_positions, axis=1)
@@ -214,9 +228,56 @@ def warp_loss(positive_scores: jnp.ndarray,
     number_of_tries = (first_violation_idx + 1).astype(hinge.dtype)
     loss_weights = jnp.log(num_items / number_of_tries)
     should_count_loss = (number_of_tries <= max_trials).astype(hinge.dtype)
+    return (first_violation_idx, first_violation_value, loss_weights,
+            should_count_loss)
 
-    loss = loss_weights * first_violation_value * should_count_loss
-    return _composite_reduction(loss, batch_size, sample_weights)
+
+def warp_loss_sparse(positive_scores: jnp.ndarray,
+                     many_negative_scores_ng: jnp.ndarray,
+                     rescore: Any,
+                     num_items: int,
+                     positive_items: Optional[jnp.ndarray] = None,
+                     negative_items: Optional[jnp.ndarray] = None,
+                     metadata: Optional[Dict[str, jnp.ndarray]] = None,
+                     metadata_weights: Optional[Dict[str, float]] = None,
+                     sample_weights: Optional[jnp.ndarray] = None
+                     ) -> jnp.ndarray:
+    """:func:`warp_loss` with a sparse backward: WARP's gradient only flows
+    to the FIRST VIOLATING negative per row, yet autodiff through the dense
+    form still scatter-adds ``K*B`` mostly-zero rows into the item table.
+    Here the first-violation scan runs on gradient-free scores
+    (``many_negative_scores_ng``, shape ``[K, B]``) and only the selected
+    negative is re-scored with gradient via ``rescore(items) -> [B]``, so
+    the backward touches ``B`` rows.  Values match :func:`warp_loss` exactly
+    and gradients match wherever ``rescore`` reproduces the selection scores
+    (deterministic ``score()`` — the caller's precondition).
+
+    Uncounted rows (no violation within ``K`` trials): the dense path's
+    selected value is the sentinel constant 1.0 with weight-mask 0, carrying
+    zero gradient; here the 0 mask multiplies the re-scored hinge, which
+    zeroes both value and gradient identically.
+    """
+    K, B = many_negative_scores_ng.shape
+    pos_ng = jax.lax.stop_gradient(positive_scores)
+
+    ideal_difference = _ideal_difference_or_one(
+        positive_items, negative_items, metadata, metadata_weights)
+    ideal_bk = (ideal_difference.T if ideal_difference.ndim == 2
+                else jnp.broadcast_to(ideal_difference, (B, K)))    # [B, K]
+
+    hinge_ng = ideal_bk - pos_ng[:, None] + many_negative_scores_ng.T
+    idx, _, loss_weights, should_count = _warp_first_violation(
+        hinge_ng, num_items)
+
+    batch_range = jnp.arange(B)
+    safe_idx = jnp.minimum(idx, K - 1)          # sentinel rows are masked out
+    selected_items = jnp.asarray(negative_items)[safe_idx, batch_range]
+    selected_scores = rescore(selected_items)                       # grad here
+    ideal_selected = ideal_bk[batch_range, safe_idx]
+
+    value = ideal_selected - positive_scores + selected_scores
+    loss = loss_weights * value * should_count
+    return _composite_reduction(loss, B, sample_weights)
 
 
 def mse_loss(predictions: jnp.ndarray,

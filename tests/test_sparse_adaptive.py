@@ -70,6 +70,81 @@ def test_sparse_hardest_with_metadata(implicit_train, monkeypatch):  # noqa: F81
     np.testing.assert_allclose(val(True), val(False), rtol=1e-6)
 
 
+def test_sparse_warp_matches_dense(implicit_train, monkeypatch):  # noqa: F811
+    """WARP first-violation sparse backward: loss value and gradients match
+    the dense warp_loss path (same selection, same scores)."""
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=64, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='warp', seed=0)
+    batch = _batch(model)
+
+    def grads(sparse_on):
+        monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE',
+                           '1' if sparse_on else '0')
+        fn = lambda p: model.calculate_loss(p, batch, rng=None, training=True)  # noqa: E731
+        return jax.value_and_grad(fn)(model.params)
+
+    v_sparse, g_sparse = grads(True)
+    v_dense, g_dense = grads(False)
+    np.testing.assert_allclose(float(v_sparse), float(v_dense), rtol=1e-6)
+    for k in g_dense:
+        np.testing.assert_allclose(np.asarray(g_sparse[k]),
+                                   np.asarray(g_dense[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_sparse_warp_with_metadata(implicit_train, monkeypatch):  # noqa: F811
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=64, seed=0)
+    num_items = loader.num_items
+    meta = {'genre': np.arange(num_items) % 3}
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='warp', seed=0,
+                                     metadata_for_loss=meta,
+                                     metadata_for_loss_weights={'genre': 0.3})
+    batch = _batch(model)
+
+    def val_and_grad(sparse_on):
+        monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE',
+                           '1' if sparse_on else '0')
+        fn = lambda p: model.calculate_loss(p, batch, rng=None, training=True)  # noqa: E731
+        return jax.value_and_grad(fn)(model.params)
+
+    v_s, g_s = val_and_grad(True)
+    v_d, g_d = val_and_grad(False)
+    np.testing.assert_allclose(float(v_s), float(v_d), rtol=1e-6)
+    for k in g_d:
+        np.testing.assert_allclose(np.asarray(g_s[k]), np.asarray(g_d[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_sparse_warp_not_used_at_eval(implicit_train, monkeypatch):  # noqa: F811
+    """training=False must keep the dense path (no selection rewrite) — both
+    give identical values, so assert on the traced structure instead: the
+    sparse path calls score() three times, the dense path twice."""
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=64, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='warp', seed=0)
+    batch = _batch(model)
+    calls = {'n': 0}
+    orig = model.score
+
+    def counting_score(*a, **kw):
+        calls['n'] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE', '1')
+    monkeypatch.setattr(model, 'score', counting_score)
+    model.calculate_loss(model.params, batch, rng=None, training=True)
+    train_calls = calls['n']
+    calls['n'] = 0
+    model.calculate_loss(model.params, batch, rng=None, training=False)
+    eval_calls = calls['n']
+    assert train_calls == 3 and eval_calls == 2
+
+
 def test_sparse_hardest_preconditions(implicit_train):  # noqa: F811
     loader = InteractionsDataLoader(interactions=implicit_train,
                                     batch_size=64, seed=0)
