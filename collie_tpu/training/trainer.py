@@ -164,9 +164,17 @@ class CollieTrainer:
         # scan-engine entries store the loader object itself and verify
         # identity on reuse (id() alone can be recycled by the allocator,
         # which would silently train on a stale snapshot of epoch data)
+        # env-gated path selections are baked into traced programs, so they
+        # must be part of the cache key — otherwise flipping the gate between
+        # fits silently reuses the previous path (the round-1 stage-staleness
+        # bug class, see ADVICE.md)
+        import os
+        path_flags = (model._sparse_selection_enabled(),
+                      os.environ.get('COLLIE_TPU_FUSED_EPOCH', 'auto'))
         if use_scan_train:
             self._device_put_loss_metadata(model)
-            key = ('train', stage, mesh_key, self.exact_sampling_dedup_rounds)
+            key = ('train', stage, mesh_key, self.exact_sampling_dedup_rounds,
+                   path_flags)
             entry = cache.get(key)
             if entry is None or entry[0] is not model.train_loader:
                 cache[key] = entry = (model.train_loader, build_scan_epoch_fns(
@@ -185,7 +193,7 @@ class CollieTrainer:
                     mesh=self.mesh, training=False))
             val_epoch_fn, val_epoch_data, _, _ = entry[1]
         if not use_scan_train or (model.val_loader is not None and not use_scan_val):
-            key = ('steps', stage, mesh_key)
+            key = ('steps', stage, mesh_key, path_flags)
             if key not in cache:
                 cache[key] = self._build_steps(model, specs, active)
             train_step, val_step, train_chunk = cache[key]

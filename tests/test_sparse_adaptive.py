@@ -178,6 +178,28 @@ def test_sparse_hardest_preconditions(implicit_train):  # noqa: F811
     assert k1._adaptive_base_loss() is None
 
 
+def test_env_flip_between_fits_uses_fresh_programs(implicit_train,
+                                                   monkeypatch):  # noqa: F811
+    """The sparse-selection gate is baked into traced epoch programs, so the
+    compiled-fn cache must key on it — flipping COLLIE_TPU_SPARSE_ADAPTIVE
+    between fits must build new programs, not silently reuse the old path."""
+    from collie_tpu.training import CollieTrainer
+
+    monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE', '1')
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=1024, shuffle=True, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0)
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=0).fit(model)
+    keys_sparse = set(model._compiled_fn_cache)
+
+    monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE', '0')
+    trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=0)
+    trainer.fit(model)
+    assert set(model._compiled_fn_cache) - keys_sparse, \
+        'dense-path fit reused programs traced with the sparse path'
+
+
 def test_sparse_hardest_end_to_end_training(implicit_train, monkeypatch):  # noqa: F811
     """Whole fits through both paths land on statistically identical params
     when gradients agree (same seeds, same data)."""
