@@ -432,8 +432,10 @@ def build_scan_fit_fn(train_epoch_fn, val_epoch_fn, *, monitor_val: bool,
             else:
                 val_loss = jnp.asarray(jnp.nan, jnp.float32)
                 monitored = train_loss
-            bad = (~jnp.isfinite(train_loss)) | (~jnp.isfinite(monitored)) \
-                if terminate_on_nan else jnp.asarray(False)
+            # host-path parity: the per-epoch loop's NaN guard checks the
+            # TRAIN loss only (``trainer.py``), never the val loss
+            bad = ~jnp.isfinite(train_loss) if terminate_on_nan \
+                else jnp.asarray(False)
 
             new_states = list(opt_states)
             new_sched = []

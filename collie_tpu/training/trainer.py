@@ -170,28 +170,40 @@ class CollieTrainer:
         # bug class, see ADVICE.md)
         import os
         path_flags = (model._sparse_selection_enabled(),
-                      os.environ.get('COLLIE_TPU_FUSED_EPOCH', 'auto'))
+                      os.environ.get('COLLIE_TPU_FUSED_EPOCH', 'auto'),
+                      os.environ.get('COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB'))
+        def _loader_slot(key, loader, build):
+            """Per-loader program slots under one cache key.  The dict keys
+            hold STRONG references to the loader objects (loaders use default
+            identity hash/eq), so a recycled ``id()`` can never alias a live
+            slot, and alternating between loaders (cross-validation folds,
+            train-then-finetune) reuses both compiled programs instead of
+            recompiling on every switch.  Bounded FIFO so retired loaders'
+            device-resident epoch arrays get freed."""
+            slots = cache.setdefault(key, {})
+            if loader not in slots:
+                while len(slots) >= 4:
+                    slots.pop(next(iter(slots)))
+                slots[loader] = build()
+            return slots[loader]
+
         if use_scan_train:
             self._device_put_loss_metadata(model)
             key = ('train', stage, mesh_key, self.exact_sampling_dedup_rounds,
                    path_flags)
-            entry = cache.get(key)
-            if entry is None or entry[0] is not model.train_loader:
-                cache[key] = entry = (model.train_loader, build_scan_epoch_fns(
+            train_epoch_fn, train_epoch_data, _, scan_examples = _loader_slot(
+                key, model.train_loader, lambda: build_scan_epoch_fns(
                     model, specs, active, model.train_loader,
                     shuffle=getattr(model.train_loader, 'shuffle', True),
                     mesh=self.mesh, training=True,
                     dedup_rounds=self.exact_sampling_dedup_rounds))
-            train_epoch_fn, train_epoch_data, _, scan_examples = entry[1]
         if use_scan_val:
             self._device_put_loss_metadata(model)
             key = ('val', stage, mesh_key)
-            entry = cache.get(key)
-            if entry is None or entry[0] is not model.val_loader:
-                cache[key] = entry = (model.val_loader, build_scan_epoch_fns(
+            val_epoch_fn, val_epoch_data, _, _ = _loader_slot(
+                key, model.val_loader, lambda: build_scan_epoch_fns(
                     model, specs, active, model.val_loader, shuffle=False,
                     mesh=self.mesh, training=False))
-            val_epoch_fn, val_epoch_data, _, _ = entry[1]
         if not use_scan_train or (model.val_loader is not None and not use_scan_val):
             key = ('steps', stage, mesh_key, path_flags)
             if key not in cache:
@@ -396,14 +408,15 @@ class CollieTrainer:
             train_loss = float(tl[j])
             val_loss = float(vl[j]) if monitor_val else None
             monitored = val_loss if monitor_val else train_loss
+            # host-path parity: the epoch's examples were processed, but the
+            # per-epoch loop raises BEFORE counting the NaN epoch as
+            # completed, so a resumed fit replays it with the same RNG
             state_box['total_examples'] += scan_examples
-            model.hparams['num_epochs_completed'] = epoch
-            self.num_epochs_completed = epoch
-            nan_epoch = not np.isfinite(train_loss) or (
-                monitor_val and not np.isfinite(monitored))
-            if self.terminate_on_nan and nan_epoch:
+            if self.terminate_on_nan and not np.isfinite(train_loss):
                 raise FloatingPointError(
                     f'NaN/Inf train loss at epoch {epoch}.')
+            model.hparams['num_epochs_completed'] = epoch
+            self.num_epochs_completed = epoch
             if self.verbosity > 0:
                 msg = f'Epoch {epoch:>3}: train loss {train_loss:.5f}'
                 if val_loss is not None:
@@ -430,7 +443,10 @@ class CollieTrainer:
         if nan_seen:
             # defensive: the per-epoch replay above should already have raised
             raise FloatingPointError('NaN/Inf train loss during fit.')
-        stopped_early = bool(es_state[2]) and j < num_epochs
+        # the device sets ``stopped`` for both early stopping and the NaN
+        # trip; report early stopping whenever patience tripped, including on
+        # the final dispatched epoch (host-loop message parity)
+        stopped_early = bool(es_state[2]) and not bool(es_state[3])
         if stopped_early and self.verbosity > 0:
             print(f'Early stopping at epoch {self.num_epochs_completed} '
                   f'(best epoch {self.best_epoch_loss[0]}, '

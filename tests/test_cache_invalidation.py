@@ -91,26 +91,33 @@ def test_recommend_tracks_current_seen_set():
 
 def test_scan_cache_rebuilds_for_new_loader(implicit_train):
     """The scan engine snapshots the loader's epoch data at build time; a new
-    loader object must rebuild the entry even if it hashes/keys identically
-    (id() recycling hazard; advisor finding, round 1)."""
+    loader object must get its own program slot even if it hashes/keys
+    identically (id() recycling hazard; advisor finding, round 1) — and
+    switching BACK to a previous loader must reuse its slot, not recompile
+    (single-slot eviction regression; advisor finding, round 2)."""
     loader_a = InteractionsDataLoader(interactions=implicit_train,
                                       batch_size=1024, shuffle=True, seed=0)
     model = MatrixFactorizationModel(train=loader_a, embedding_dim=4, seed=0)
     trainer = CollieTrainer(model, max_epochs=1, verbosity=0, seed=0)
     trainer.fit(model)
 
-    key = ('train', None, None, trainer.exact_sampling_dedup_rounds)
-    entry_a = model._compiled_fn_cache[key]
-    assert entry_a[0] is loader_a
+    key = next(k for k in model._compiled_fn_cache if k[0] == 'train')
+    slots = model._compiled_fn_cache[key]
+    assert loader_a in slots
+    built_a = slots[loader_a]
 
     loader_b = InteractionsDataLoader(interactions=implicit_train,
                                       batch_size=1024, shuffle=True, seed=1)
     model.train_loader = loader_b
     trainer.max_epochs = 2
     trainer.fit(model)
-    entry_b = model._compiled_fn_cache[key]
-    assert entry_b[0] is loader_b
-    assert entry_b is not entry_a
+    slots = model._compiled_fn_cache[key]
+    assert loader_b in slots and slots[loader_b] is not built_a
+    # alternating back reuses loader_a's slot (both programs stay cached)
+    model.train_loader = loader_a
+    trainer.max_epochs = 3
+    trainer.fit(model)
+    assert model._compiled_fn_cache[key][loader_a] is built_a
 
 
 def test_match_lr_aval_roundtrip():
