@@ -84,6 +84,173 @@ def build_padded_complement_table(csr, lane: int = 128
     return shifted_pad, counts
 
 
+def build_bucketed_complement_tables(csr, example_rows, lane: int = 128,
+                                     chunk: int = 8192):
+    """Host-side precompute for the DEGREE-BUCKETED gather-free sampler.
+
+    The single padded table reads every example's user row at the max-degree
+    width ``P`` — at ML-10M scale the mean degree is ~69 but ``P`` is 2688,
+    so 96%+ of the sampling HBM traffic is padding.  Users are instead
+    partitioned into power-of-two width buckets (128, 256, 512, ...), each
+    with its own ``[users_in_bucket, P_b]`` table, and — the part that makes
+    this static-shaped — the EXAMPLE partition is precomputed here on the
+    host: which canonical interaction belongs to which bucket depends only on
+    its user's degree, not on the epoch shuffle.  The epoch program counts
+    per bucket at that bucket's width and scatters results back through the
+    shuffle permutation (see ``complement_sample_negatives_bucketed_impl``).
+
+    Returns ``(bucket_specs, row_counts, n_canon)`` where each spec is
+    ``(ex_idx [n_b_pad], row_idx [n_b_pad], table [m_b, P_b])`` as numpy
+    arrays: ``ex_idx`` indexes canonical examples (padded with the spill slot
+    ``n_canon``), ``row_idx`` the bucket-local user row; specs partition
+    ``range(len(example_rows))``.
+    """
+    csr = csr.tocsr()
+    csr.sort_indices()
+    num_users, num_items = csr.shape
+    indptr = csr.indptr.astype(np.int64)
+    counts = np.diff(indptr).astype(np.int32)
+    cols = csr.indices.astype(np.int32)
+    rank = np.arange(len(cols), dtype=np.int32) - np.repeat(
+        indptr[:-1], counts).astype(np.int32)
+    shifted = cols - rank
+
+    max_len = int(counts.max()) if num_users else 0
+    widths = []
+    w = lane
+    while True:
+        widths.append(w)
+        if w >= max(max_len, 1):
+            break
+        w *= 2
+    user_bucket = np.searchsorted(np.asarray(widths), counts)  # deg<=P_b
+    example_rows = np.asarray(example_rows, dtype=np.int64)
+    n_canon = len(example_rows)
+    ex_bucket = user_bucket[example_rows]
+
+    specs = []
+    user_local = np.zeros(num_users, dtype=np.int64)
+    for b, P in enumerate(widths):
+        users_b = np.where(user_bucket == b)[0]
+        ex_b = np.where(ex_bucket == b)[0].astype(np.int32)
+        if len(users_b) == 0 or len(ex_b) == 0:
+            continue
+        user_local[users_b] = np.arange(len(users_b))
+        table = np.full((len(users_b), P), num_items, dtype=np.int32)
+        lengths = counts[users_b].astype(np.int64)
+        total = int(lengths.sum())
+        rows_rep = np.repeat(np.arange(len(users_b)), lengths)
+        pos = np.arange(total) - np.repeat(np.cumsum(lengths) - lengths,
+                                           lengths)
+        src = np.repeat(indptr[users_b], lengths) + pos
+        table[rows_rep, pos] = shifted[src]
+        row_b = user_local[example_rows[ex_b]].astype(np.int32)
+        pad = -len(ex_b) % min(chunk, _ceil_pow2(len(ex_b)))
+        if pad:
+            ex_b = np.concatenate([ex_b, np.full(pad, n_canon, np.int32)])
+            row_b = np.concatenate([row_b, np.zeros(pad, np.int32)])
+        specs.append((ex_b, row_b, table))
+    return specs, counts, n_canon
+
+
+def _ceil_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def bucketed_table_bytes(csr, lane: int = 128) -> int:
+    """Device bytes the bucketed sampler's tables would occupy — the budget
+    check mirror of :func:`padded_table_bytes` (always <= it)."""
+    csr = csr.tocsr()
+    counts = np.diff(csr.indptr)
+    if len(counts) == 0:
+        return 0
+    widths = lane * (2 ** np.ceil(np.log2(np.maximum(counts, 1) / lane))
+                     .clip(min=0)).astype(np.int64)
+    return int(widths.sum()) * 4
+
+
+def complement_sample_negatives_bucketed_impl(rng: jax.Array,
+                                              user_ids: jnp.ndarray,
+                                              idx: jnp.ndarray,
+                                              n_used: int,
+                                              n_canon: int,
+                                              bucket_specs,
+                                              row_counts: jnp.ndarray,
+                                              num_items: int,
+                                              num_negative_samples: int,
+                                              dedup_rounds: int = 1,
+                                              chunk: int = 8192
+                                              ) -> jnp.ndarray:
+    """Degree-bucketed complement sampling over a shuffled epoch.
+
+    Same RNG stream and ``item = r + |{j: shifted_j <= r}|`` math as
+    :func:`complement_sample_negatives_padded_impl` — draws happen at the
+    shuffled positions (``user_ids = rows[idx]``, bit-identical ``r``) while
+    the comparison-count runs in CANONICAL example order, where the bucket
+    partition is static: ``r`` scatters through the epoch permutation
+    (``idx[:n_used]`` is a bijection onto the ``n_canon`` canonical
+    examples), each bucket counts at its own width, and counts gather back
+    through ``idx``.
+
+    Output is bit-identical to the padded/CSR samplers at all real positions.
+    The trailing ``len(idx) - n_used`` PADDING positions (mask == 0
+    everywhere downstream) duplicate canonical example ``idx[0]`` and receive
+    its count paired with their own draw — a harmless mismatch on rows whose
+    loss weight is zero (asserted by the parity tests).
+    """
+    K = num_negative_samples
+    N = user_ids.shape[0]
+    shape = (N, K)
+    users = user_ids.astype(jnp.int32).reshape(-1)
+    complement_size = (num_items - row_counts[users])[:, None].astype(jnp.int32)
+    perm = idx[:n_used]
+
+    def count_canonical(r_canon):
+        """|{j: shifted <= r}| per (canonical example, draw), bucket by
+        bucket at each bucket's own width.  Row + draw index arrays are
+        host-precomputed constants; slot ``n_canon`` is the write spill for
+        bucket padding (never read)."""
+        counts = jnp.zeros((n_canon + 1, K), jnp.int32)
+        for ex_idx_b, row_idx_b, table_b in bucket_specs:
+            r_b = r_canon[ex_idx_b]                        # [n_b, K]
+
+            def one_chunk(args, _table=table_b):
+                row_c, r_c = args
+                rows_c = _table[row_c]                     # [c, P_b]
+                return jnp.sum(rows_c[:, None, :] <= r_c[:, :, None],
+                               axis=-1, dtype=jnp.int32)   # [c, K]
+
+            nb = int(ex_idx_b.shape[0])
+            if nb <= chunk:
+                cnt_b = one_chunk((row_idx_b, r_b))
+            else:
+                cnt_b = jax.lax.map(
+                    one_chunk, (row_idx_b.reshape(-1, chunk),
+                                r_b.reshape(-1, chunk, K))).reshape(nb, K)
+            counts = counts.at[ex_idx_b].set(cnt_b)
+        return counts
+
+    def draw(draw_rng, negatives, redraw_mask):
+        u01 = jax.random.uniform(draw_rng, shape)
+        r = jnp.minimum((u01 * complement_size).astype(jnp.int32),
+                        complement_size - 1)
+        r_canon = jnp.zeros((n_canon + 1, K), jnp.int32).at[perm].set(
+            r[:n_used])
+        counts = count_canonical(r_canon)[idx]             # [N, K]
+        return jnp.where(redraw_mask, r + counts, negatives)
+
+    rngs = jax.random.split(rng, 1 + dedup_rounds)
+    negatives = draw(rngs[0], jnp.zeros(shape, jnp.int32),
+                     jnp.ones(shape, dtype=bool))
+    for round_idx in range(dedup_rounds):
+        dup = _duplicate_within_row_mask(negatives)
+        negatives = draw(rngs[1 + round_idx], negatives, dup)
+    return negatives
+
+
 def padded_table_bytes(csr, lane: int = 128) -> int:
     """Size in bytes of the table :func:`build_padded_complement_table` would
     build — callers use this to auto-select padded vs CSR sampling."""

@@ -26,18 +26,23 @@ from collie_tpu.data import (ApproximateNegativeSamplingInteractionsDataLoader,
                              ExplicitInteractions, HDF5InteractionsDataLoader,
                              Interactions, InteractionsDataLoader)
 from collie_tpu.ops.device_sampling import (
+    bucketed_table_bytes, build_bucketed_complement_tables,
     build_complement_tables, build_padded_complement_table,
+    complement_sample_negatives_bucketed_impl,
     complement_sample_negatives_impl, complement_sample_negatives_padded_impl,
     padded_table_bytes)
 
-# Auto-select the gather-free padded sampler whenever its [num_users, P] table
-# fits this budget (P = max user degree rounded to the 128-lane width); beyond
-# it — extreme row-length skew at huge user counts — fall back to the CSR
-# binary-search path.  1 GiB covers ML-10M scale (72k users x P=2048 = 590 MB,
-# measured 4.1x epoch speedup over CSR); the sampler itself chunks its row
-# gathers so peak *working* memory stays O(8192 x P) regardless of epoch
-# size.  Override with COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB (0 disables the
-# padded path entirely).
+# Auto-select the gather-free DEGREE-BUCKETED sampler whenever its tables
+# (one [users_in_bucket, P_b] table per power-of-two degree bucket) fit this
+# budget; beyond it — extreme row-length skew at huge user counts — fall back
+# to the CSR binary-search path.  Bucketing reads each example's positives at
+# its user's own bucket width instead of the global max degree: at ML-10M
+# scale that is ~4x less sampling HBM traffic and ~10x less table memory than
+# the single padded table (which remains available via
+# COLLIE_TPU_SAMPLER=padded, and is what the bucketed path is bit-identical
+# to).  The samplers chunk their row gathers so peak *working* memory stays
+# O(8192 x P_b) regardless of epoch size.  Override the budget with
+# COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB (0 disables both gather-free paths).
 _PADDED_SAMPLER_BUDGET_MB = 1024
 
 
@@ -204,8 +209,23 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
             budget_mb = float(os.environ.get(
                 'COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB',
                 _PADDED_SAMPLER_BUDGET_MB))
-            padded = padded_table_bytes(inter.mat) <= budget_mb * 2**20
-            if padded:
+            kind = os.environ.get('COLLIE_TPU_SAMPLER', 'auto')
+            if kind == 'auto':
+                if bucketed_table_bytes(inter.mat) <= budget_mb * 2**20:
+                    kind = 'bucketed'
+                elif padded_table_bytes(inter.mat) <= budget_mb * 2**20:
+                    kind = 'padded'  # unreachable (bucketed <= padded) but
+                else:                # kept for explicit env selection
+                    kind = 'csr'
+            sampler_kind = kind
+            if kind == 'bucketed':
+                specs_np, counts_np, _ = build_bucketed_complement_tables(
+                    inter.mat, inter.mat.row)
+                data['bucket_specs'] = tuple(
+                    (jnp.asarray(e), jnp.asarray(r), jnp.asarray(t))
+                    for e, r, t in specs_np)
+                data['row_counts'] = jnp.asarray(counts_np)
+            elif kind == 'padded':
                 pad_np, counts_np = build_padded_complement_table(inter.mat)
                 data['shifted_pad'] = jnp.asarray(pad_np)
                 data['row_counts'] = jnp.asarray(counts_np)
@@ -245,7 +265,12 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
             batches['ratings'] = _constrain(data['ratings'][idx].reshape(S, B))
         else:
             batches['pos_items'] = _constrain(data['cols'][idx].reshape(S, B))
-            if exact and padded:
+            if exact and sampler_kind == 'bucketed':
+                negs = complement_sample_negatives_bucketed_impl(
+                    sample_rng, users_flat, idx, n_used, n,
+                    data['bucket_specs'], data['row_counts'], num_items, K,
+                    dedup_rounds=dedup_rounds)
+            elif exact and sampler_kind == 'padded':
                 negs = complement_sample_negatives_padded_impl(
                     sample_rng, users_flat, data['shifted_pad'],
                     data['row_counts'], num_items, K,

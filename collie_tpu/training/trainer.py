@@ -171,7 +171,8 @@ class CollieTrainer:
         import os
         path_flags = (model._sparse_selection_enabled(),
                       os.environ.get('COLLIE_TPU_FUSED_EPOCH', 'auto'),
-                      os.environ.get('COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB'))
+                      os.environ.get('COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB'),
+                      os.environ.get('COLLIE_TPU_SAMPLER', 'auto'))
         def _loader_slot(key, loader, build):
             """Per-loader program slots under one cache key.  The dict keys
             hold STRONG references to the loader objects (loaders use default

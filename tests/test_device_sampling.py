@@ -231,11 +231,46 @@ def test_scan_engine_selects_padded_sampler_by_budget(implicit_train,
 
     data_pad, params_pad, loss_pad = run('512')
     data_csr, params_csr, loss_csr = run('0')
-    assert 'shifted_pad' in data_pad and 'indptr' not in data_pad
-    assert 'indptr' in data_csr and 'shifted_pad' not in data_csr
+    assert 'bucket_specs' in data_pad and 'indptr' not in data_pad
+    assert 'indptr' in data_csr and 'bucket_specs' not in data_csr
     assert loss_pad == loss_csr
     for k in params_pad:
         np.testing.assert_array_equal(params_pad[k], params_csr[k])
+
+
+def test_scan_engine_sampler_env_selection(implicit_train, monkeypatch):
+    """COLLIE_TPU_SAMPLER forces a specific exact-sampling kernel; all three
+    train to identical params (bit-identical negatives at real positions,
+    zero-weight padding rows)."""
+    from collie_tpu.data import InteractionsDataLoader
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+    from collie_tpu.training.scan_engine import build_scan_epoch_fns
+
+    def run(kind):
+        monkeypatch.setenv('COLLIE_TPU_SAMPLER', kind)
+        loader = InteractionsDataLoader(interactions=implicit_train,
+                                        batch_size=500,  # ragged: pad rows
+                                        shuffle=True, seed=0)
+        model = MatrixFactorizationModel(train=loader, embedding_dim=4,
+                                         lr=1e-1, loss='hinge', seed=0)
+        specs = model.optimizer_specs()
+        fn, data, S, n = build_scan_epoch_fns(
+            model, specs, [True] * len(specs), loader, shuffle=True,
+            training=True)
+        opt_states = tuple(
+            jax.jit(spec.transform.init)(
+                {k: model.params[k] for k in spec.keys}) for spec in specs)
+        params, _, loss = fn(dict(model.params), opt_states, data,
+                             jax.random.PRNGKey(0), np.int32(0))
+        return jax.device_get(params), float(loss)
+
+    params_b, loss_b = run('bucketed')
+    params_p, loss_p = run('padded')
+    params_c, loss_c = run('csr')
+    assert loss_b == loss_p == loss_c
+    for k in params_b:
+        np.testing.assert_array_equal(params_b[k], params_p[k])
+        np.testing.assert_array_equal(params_b[k], params_c[k])
 
 
 def test_padded_sampler_chunked_path_matches_direct(problem):
@@ -260,3 +295,89 @@ def test_padded_sampler_chunked_path_matches_direct(problem):
     sample = np.asarray(big)[:2000]
     for row, u in zip(sample, users[:2000]):
         assert not forbidden[int(u)].toarray()[0][row].any()
+
+
+@pytest.fixture(scope='module')
+def skewed_problem():
+    """Degrees spanning several power-of-two buckets, incl. exact boundary
+    degrees (127/128/129) and one heavy user."""
+    rng = np.random.default_rng(5)
+    num_users, num_items = 40, 700
+    degrees = rng.integers(1, 60, num_users)
+    degrees[0], degrees[1], degrees[2], degrees[3] = 400, 129, 128, 127
+    rows, cols = [], []
+    for u, d in enumerate(degrees):
+        rows.extend([u] * d)
+        cols.extend(rng.choice(num_items, size=d, replace=False).tolist())
+    mat = coo_matrix((np.ones(len(rows)), (np.asarray(rows), np.asarray(cols))),
+                     shape=(num_users, num_items))
+    return mat, np.asarray(rows, dtype=np.int32), num_items
+
+
+def test_bucketed_sampler_bit_identical_to_padded(skewed_problem):
+    """The degree-bucketed sampler consumes the same RNG stream as the padded
+    (and CSR) kernels; at every real (non-padding) epoch position the outputs
+    must match exactly, across multiple buckets and dedup rounds."""
+    from collie_tpu.ops.device_sampling import (
+        build_bucketed_complement_tables, build_padded_complement_table,
+        complement_sample_negatives_bucketed_impl,
+        complement_sample_negatives_padded_impl)
+
+    mat, ex_rows, num_items = skewed_problem
+    specs_np, counts_np, n_canon = build_bucketed_complement_tables(
+        mat, ex_rows, chunk=256)
+    assert len(specs_np) >= 3, 'fixture must span multiple buckets'
+    assert n_canon == len(ex_rows)
+    specs = tuple((jnp.asarray(e), jnp.asarray(r), jnp.asarray(t))
+                  for e, r, t in specs_np)
+    pad_tbl, counts2 = build_padded_complement_table(mat)
+    np.testing.assert_array_equal(counts_np, counts2)
+
+    n = len(ex_rows)
+    B = 64
+    S = -(-n // B)
+    n_used, pad = n, S * B - n
+    perm = np.random.default_rng(9).permutation(n).astype(np.int32)
+    idx = np.concatenate([perm, np.full(pad, perm[0], np.int32)])
+    users = jnp.asarray(ex_rows[idx])
+
+    for dedup_rounds in (0, 1, 2):
+        key = jax.random.PRNGKey(11)
+        a = complement_sample_negatives_padded_impl(
+            key, users, jnp.asarray(pad_tbl), jnp.asarray(counts_np),
+            num_items, 6, dedup_rounds=dedup_rounds)
+        b = complement_sample_negatives_bucketed_impl(
+            key, users, jnp.asarray(idx), n_used, n, specs,
+            jnp.asarray(counts_np), num_items, 6,
+            dedup_rounds=dedup_rounds, chunk=256)
+        np.testing.assert_array_equal(np.asarray(a)[:n_used],
+                                      np.asarray(b)[:n_used])
+
+
+def test_bucketed_sampler_never_hits_positives(skewed_problem):
+    from collie_tpu.ops.device_sampling import (
+        build_bucketed_complement_tables,
+        complement_sample_negatives_bucketed_impl)
+
+    mat, ex_rows, num_items = skewed_problem
+    csr = mat.tocsr()
+    positives = set(zip(mat.row.tolist(), mat.col.tolist()))
+    specs_np, counts_np, n = build_bucketed_complement_tables(mat, ex_rows)
+    specs = tuple((jnp.asarray(e), jnp.asarray(r), jnp.asarray(t))
+                  for e, r, t in specs_np)
+    perm = np.random.default_rng(3).permutation(n).astype(np.int32)
+    users = jnp.asarray(ex_rows[perm])
+    negs = np.asarray(complement_sample_negatives_bucketed_impl(
+        jax.random.PRNGKey(2), users, jnp.asarray(perm), n, n, specs,
+        jnp.asarray(counts_np), num_items, 8))
+    assert negs.min() >= 0 and negs.max() < num_items
+    collisions = sum((int(u), int(i)) in positives
+                     for u, row in zip(np.asarray(users), negs) for i in row)
+    assert collisions == 0
+
+
+def test_bucketed_table_bytes_smaller_than_padded(skewed_problem):
+    from collie_tpu.ops.device_sampling import (bucketed_table_bytes,
+                                                padded_table_bytes)
+    mat, _, _ = skewed_problem
+    assert bucketed_table_bytes(mat) < padded_table_bytes(mat) / 2
