@@ -200,6 +200,14 @@ def profile_config(num_users, num_items, num_interactions, dim, batch_size,
 
 
 def main():
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--full-scale', action='store_true',
+                        help='also attribute the full ML-10M config '
+                             '(10M interactions; adds ~10 min of data gen '
+                             'and remote compiles)')
+    args = parser.parse_args()
+
     results = {'backend': jax.default_backend(), 'runs': []}
     # gate config + batch sweep
     for batch in (1024, 4096, 8192):
@@ -214,6 +222,12 @@ def main():
     results['runs'].append(profile_config(69_878, 10_677, 1_000_000, 32, 8192,
                                           dtype=jnp.bfloat16))
     print(json.dumps(results['runs'][-1]), flush=True)
+    if args.full_scale:
+        # the configuration bench_ml10m_scale.py trains (degree skew at full
+        # size is what separates the samplers)
+        results['runs'].append(profile_config(72_000, 10_000, 10_000_000, 32,
+                                              8192))
+        print(json.dumps(results['runs'][-1]), flush=True)
 
     with open(Path(__file__).parent / 'profile_train_results.json', 'w') as f:
         json.dump(results, f, indent=2)
