@@ -8,6 +8,7 @@ import jax
 import numpy as np
 import pytest
 
+from collie_tpu.data import InteractionsDataLoader
 from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
 from collie_tpu.parallel import make_mesh, param_shardings, shard_params
 from collie_tpu.training.trainer import CollieTrainer
@@ -163,3 +164,26 @@ def test_mesh_train_step_emits_no_table_sized_allgather(implicit_train):
            if 'all-gather' in line
            and any(re.search(s, line.split('=', 1)[0]) for s in table_shapes)]
     assert not bad, f'table-sized all-gather in compiled mesh step: {bad}'
+
+
+def test_multi_stage_training_under_mesh(mesh, implicit_sets):
+    """Stage-gated optimizers + stage transitions must work under a device
+    mesh: the compiled-fn cache keys on (stage, mesh), and the cold-start
+    bucket->item copy is a device op that must respect shardings."""
+    from collie_tpu.models.cold_start_matrix_factorization import ColdStartModel
+
+    train, val = implicit_sets
+    loader = InteractionsDataLoader(interactions=train, batch_size=1024,
+                                    shuffle=True, seed=0)
+    buckets = np.arange(train.num_items) % 4
+    model = ColdStartModel(train=loader, item_buckets=buckets,
+                           embedding_dim=8, lr=1e-1, seed=0)
+    trainer = CollieTrainer(model, max_epochs=2, verbosity=0, mesh=mesh,
+                            seed=0)
+    trainer.fit(model)
+    model.advance_stage()
+    trainer.max_epochs = 4
+    trainer.fit(model)
+    assert model.current_stage == 'no_buckets'
+    preds = model.get_item_predictions(0, unseen_items_only=False)
+    assert np.isfinite(np.asarray(preds)).all()
