@@ -43,7 +43,7 @@ from XLA's scatter-add order by O(1e-6) — covered by tolerance tests in
 
 Supported envelope (checked by ``scan_engine._fused_epoch_config``): exact
 ``MatrixFactorizationModel``, implicit data, hinge / adaptive-hinge /
-bpr / adaptive-bpr loss with
+bpr / adaptive-bpr / warp loss with
 no loss metadata, ``dropout_p == 0``, no ``y_range``, zero weight decay, the
 default dual-optimizer layout (adam embeddings + sgd biases), single device,
 and tables + moments + score blocks within the VMEM budget.  Anything else
@@ -171,7 +171,38 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
             return l, g
 
         dS = jnp.where(pos_oh, 1.0, 0.0) * 0.0                 # [C, I] zeros
-        if adaptive:
+        if loss_kind == 'warp':
+            # collie's modified WARP (ops/losses.py::warp_loss, reference
+            # warp.py:8-154): the FIRST violating negative (hinge > 0, in
+            # sample order) carries the loss, weighted by
+            # log(num_items / tries).  The weights are per-k Python
+            # constants — no in-kernel log — and the selection state is one
+            # found-flag pass over K, mirroring warp_loss_sparse's B-row
+            # backward (gradient reaches only the selected negative).
+            import math
+            found = jnp.zeros((C,), jnp.bool_)
+            first_item = jnp.zeros((C,), jnp.int32)
+            first_hinge = jnp.zeros((C,), f32)
+            weight = jnp.zeros((C,), f32)
+            for k in range(K):
+                nk = negs_ref[0, 0, pl.ds(k * B + c * C, C)]
+                oh = iota_i == nk[:, None]
+                sk = jnp.sum(jnp.where(oh, s_b, 0.0), axis=1)
+                hk = 1.0 - pos_score + sk
+                take = jnp.logical_and(hk > 0.0, jnp.logical_not(found))
+                first_item = jnp.where(take, nk, first_item)
+                first_hinge = jnp.where(take, hk, first_hinge)
+                weight = jnp.where(take, f32(math.log(I / (k + 1))), weight)
+                found = jnp.logical_or(found, hk > 0.0)
+            # rows with no violation: weight == 0 zeroes value and gradient,
+            # matching the sentinel should_count_loss mask (warp.py:122-131)
+            l = weight * first_hinge
+            loss_row = loss_row + ((l + l * l) * w).reshape(1, C)
+            g = w * (1.0 + 2.0 * l) * weight / denom
+            dS = dS - jnp.where(pos_oh, g[:, None], 0.0)
+            dS = dS + jnp.where(iota_i == first_item[:, None],
+                                g[:, None], 0.0)
+        elif adaptive:
             # One pass over K: track the hardest negative's *item id* (ties:
             # first max wins, matching jnp.argmax in ops/losses.py:112-120),
             # then scatter the gradient with a single one-hot — the item id
@@ -286,7 +317,7 @@ def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
         return pl.BlockSpec(shape, lambda s: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    assert loss_kind in ('hinge', 'bpr'), loss_kind
+    assert loss_kind in ('hinge', 'bpr', 'warp'), loss_kind
     kernel = functools.partial(_epoch_kernel, U=U, I=I, D=D, B=B, K=K, C=C,
                                adaptive=adaptive, loss_kind=loss_kind)
 

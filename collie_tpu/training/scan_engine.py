@@ -80,7 +80,8 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
     _kernel_losses = {L.hinge_loss: ('hinge', False),
                       L.adaptive_hinge_loss: ('hinge', True),
                       L.bpr_loss: ('bpr', False),
-                      L.adaptive_bpr_loss: ('bpr', True)}
+                      L.adaptive_bpr_loss: ('bpr', True),
+                      L.warp_loss: ('warp', False)}
     if model.loss_function not in _kernel_losses:
         return None
     loss_kind, adaptive = _kernel_losses[model.loss_function]

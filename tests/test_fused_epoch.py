@@ -53,7 +53,8 @@ def _train_epochs(implicit_train, monkeypatch, fused: bool, *, loss='adaptive',
     return (jax.device_get(params), jax.device_get(opt_states), losses, S)
 
 
-@pytest.mark.parametrize('loss', ['hinge', 'adaptive', 'bpr', 'adaptive_bpr'])
+@pytest.mark.parametrize('loss', ['hinge', 'adaptive', 'bpr', 'adaptive_bpr',
+                                  'warp'])
 def test_fused_epoch_matches_scan_engine(implicit_train, monkeypatch, loss):
     """Same data, same seed: the fused kernel and the XLA scan engine must
     produce matching params, losses, and *interchangeable* optimizer states
@@ -147,7 +148,12 @@ def test_fused_envelope_rejects_out_of_scope(implicit_train, monkeypatch):
     mlp = MLPMatrixFactorizationModel(train=loader, embedding_dim=8, seed=0)
     assert _config_for(mlp, loader, monkeypatch) is None
 
-    for kwargs in ({'loss': 'warp'}, {'dropout_p': 0.5},
+    warp = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                    loss='warp', seed=0)
+    warp_cfg = _config_for(warp, loader, monkeypatch)
+    assert warp_cfg is not None and warp_cfg['loss_kind'] == 'warp'
+
+    for kwargs in ({'dropout_p': 0.5},
                    {'weight_decay': 1e-6}, {'y_range': (0.0, 5.0)},
                    {'optimizer': 'sgd'}, {'bias_optimizer': 'adam'}):
         m = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
