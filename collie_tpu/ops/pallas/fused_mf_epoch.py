@@ -41,12 +41,13 @@ scatter matmuls sum duplicate rows in a deterministic order that can differ
 from XLA's scatter-add order by O(1e-6) — covered by tolerance tests in
 ``tests/test_fused_epoch.py``.
 
-Supported envelope (checked by ``scan_engine._fused_epoch_config``): exact
-``MatrixFactorizationModel``, implicit data, hinge / adaptive-hinge /
-bpr / adaptive-bpr / warp loss with
-no loss metadata, ``dropout_p == 0``, no ``y_range``, zero weight decay, the
-default dual-optimizer layout (adam embeddings + sgd biases), single device,
-and tables + moments + score blocks within the VMEM budget.  Anything else
+Supported envelope (checked by ``scan_engine._fused_epoch_config``):
+``MatrixFactorizationModel`` with no loss metadata, ``dropout_p == 0``, zero
+weight decay, the default dual-optimizer layout (adam embeddings + sgd
+biases), single device, and tables + moments + score blocks within the VMEM
+budget; implicit data with hinge / adaptive-hinge / bpr / adaptive-bpr /
+warp loss (no ``y_range``), or explicit data with mse / mae loss
+(``y_range`` supported — :func:`fused_mf_explicit_epoch`).  Anything else
 falls back to the XLA scan engine.
 """
 import functools
@@ -90,7 +91,7 @@ def fused_vmem_bytes(num_users: int, num_items: int, dim: int,
     grads = (num_users + num_items) * d * 4             # accumulators
     c = _chunk_size(batch_size)
     blocks = 5 * c * _lane_pad(num_items) * 4           # s_all, dS, one-hots
-    bias = 2 * 8 * _lane_pad(num_items) * 4
+    bias = 2 * 8 * (_lane_pad(num_items) + _lane_pad(num_users)) * 4
     return tables + grads + blocks + bias
 
 
@@ -271,6 +272,242 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
                                                        + ADAM_EPS)
 
     item_bias_ref[:] = item_bias_ref[:] - lr_bias_ref[0, 0] * db_ref[:]
+
+
+def _explicit_epoch_kernel(users_ref, items_ref, ratings_ref, mask_ref,
+                           denoms_ref, bc1_ref, bc2_ref,       # [1, S] SMEM
+                           lr_emb_ref, lr_bias_ref,            # SMEM scalars
+                           ue_in, ie_in, ub_in, ib_in,
+                           muu_in, nuu_in, mui_in, nui_in, cnt_in,
+                           user_emb_ref, item_emb_ref,
+                           user_bias_ref, item_bias_ref,       # state (out)
+                           mu_u_ref, nu_u_ref, mu_i_ref, nu_i_ref, count_ref,
+                           loss_ref,                           # [1, S] SMEM
+                           du_ref, di_ref, dbu_ref, dbi_ref,   # VMEM scratch
+                           *, U, I, D, B, C, loss_kind, y_range):
+    """Explicit-feedback (MSE/MAE) twin of :func:`_epoch_kernel`.
+
+    Differences from the ranking kernel: no negatives, the USER bias carries
+    gradient (pairwise losses cancel it; pointwise losses do not), the
+    optional ``y_range`` sigmoid rescale (``models/matrix_factorization.py::
+    _apply_y_range``) applies with its chain factor, and the reduction is the
+    plain weighted mean of ``ops/losses.py::mse_loss``/``mae_loss`` — not the
+    ranking losses' composite ``(Σl+Σl²)/B``."""
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_state():
+        user_emb_ref[:] = ue_in[:]
+        item_emb_ref[:] = ie_in[:]
+        user_bias_ref[:] = ub_in[:]
+        item_bias_ref[:] = ib_in[:]
+        mu_u_ref[:] = muu_in[:]
+        nu_u_ref[:] = nuu_in[:]
+        mu_i_ref[:] = mui_in[:]
+        nu_i_ref[:] = nui_in[:]
+        count_ref[0, 0] = cnt_in[0, 0]
+
+    du_ref[:] = jnp.zeros((U, D), f32)
+    di_ref[:] = jnp.zeros((I, D), f32)
+    dbu_ref[:] = jnp.zeros((1, U), f32)
+    dbi_ref[:] = jnp.zeros((1, I), f32)
+
+    denom = denoms_ref[0, pl.program_id(0)]
+    n_chunks = B // C
+
+    def chunk_body(c, loss_row):
+        sl = pl.ds(c * C, C)
+        u = users_ref[0, 0, sl]                                # [C] i32
+        it = items_ref[0, 0, sl]
+        r = ratings_ref[0, 0, sl]
+        w = mask_ref[0, 0, sl]
+
+        hi = jax.lax.Precision.HIGHEST
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, (C, U), 1)
+        uo = (iota_u == u[:, None]).astype(f32)                # [C, U]
+        ug = jnp.dot(uo, user_emb_ref[:], preferred_element_type=f32,
+                     precision=hi)                             # [C, D]
+        s_all = jax.lax.dot_general(
+            ug, item_emb_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=hi)          # [C, I]
+        s_b = s_all + item_bias_ref[:]                         # + [1, I]
+
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (C, I), 1)
+        pos_oh = iota_i == it[:, None]
+        raw_items = jnp.sum(jnp.where(pos_oh, s_b, 0.0), axis=1)   # [C]
+        ubg = jax.lax.dot_general(
+            uo, user_bias_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=hi)          # [C, 1]
+        raw = raw_items + ubg[:, 0]
+
+        if y_range is not None:
+            lo, span = y_range[0], y_range[1] - y_range[0]
+            sig = jax.nn.sigmoid(raw)
+            pred = lo + span * sig
+            chain = span * sig * (1.0 - sig)
+        else:
+            pred = raw
+            chain = 1.0
+
+        err = pred - r
+        if loss_kind == 'mse':
+            l = err * err
+            dl = 2.0 * err
+        else:                                                  # 'mae'
+            l = jnp.abs(err)
+            dl = jnp.sign(err)
+        loss_row = loss_row + (l * w).reshape(1, C)
+        g = w * dl * chain / denom                             # [C]
+
+        dS = jnp.where(pos_oh, g[:, None], 0.0)                # [C, I]
+        dbi_ref[:] = dbi_ref[:] + jnp.sum(dS, axis=0, keepdims=True)
+        dbu_ref[:] = dbu_ref[:] + jax.lax.dot_general(
+            g.reshape(1, C), uo, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hi)          # [1, U]
+        dug = jnp.dot(dS, item_emb_ref[:], preferred_element_type=f32,
+                      precision=hi)                            # [C, D]
+        di_ref[:] = di_ref[:] + jax.lax.dot_general(
+            dS, ug, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hi)
+        du_ref[:] = du_ref[:] + jax.lax.dot_general(
+            uo, dug, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hi)
+        return loss_row
+
+    loss_row = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                 jnp.zeros((1, C), f32))
+    loss_tot = jnp.dot(loss_row, jnp.ones((C, 1), f32),
+                       preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+    loss_ref[0, pl.program_id(0)] = loss_tot[0, 0] / denom
+
+    # ---- optax-exact optimizer update, on chip -------------------------
+    count_ref[0, 0] = count_ref[0, 0] + 1
+    bc1 = bc1_ref[0, pl.program_id(0)]
+    bc2 = bc2_ref[0, pl.program_id(0)]
+    lr_e = lr_emb_ref[0, 0]
+
+    for emb_ref, mu_ref, nu_ref, g_ref in (
+            (user_emb_ref, mu_u_ref, nu_u_ref, du_ref),
+            (item_emb_ref, mu_i_ref, nu_i_ref, di_ref)):
+        g = g_ref[:]
+        mu = ADAM_B1 * mu_ref[:] + (1.0 - ADAM_B1) * g
+        nu = ADAM_B2 * nu_ref[:] + (1.0 - ADAM_B2) * g * g
+        mu_ref[:] = mu
+        nu_ref[:] = nu
+        emb_ref[:] = emb_ref[:] - lr_e * (mu / bc1) / (jnp.sqrt(nu / bc2)
+                                                       + ADAM_EPS)
+
+    lr_b = lr_bias_ref[0, 0]
+    user_bias_ref[:] = user_bias_ref[:] - lr_b * dbu_ref[:]
+    item_bias_ref[:] = item_bias_ref[:] - lr_b * dbi_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=('loss_kind', 'y_range',
+                                             'interpret'))
+def fused_mf_explicit_epoch(user_emb: jnp.ndarray,    # [U, D] f32
+                            item_emb: jnp.ndarray,    # [I, D] f32
+                            user_bias: jnp.ndarray,   # [U] f32
+                            item_bias: jnp.ndarray,   # [I] f32
+                            mu_u: jnp.ndarray, nu_u: jnp.ndarray,
+                            mu_i: jnp.ndarray, nu_i: jnp.ndarray,
+                            count: jnp.ndarray,       # [] i32
+                            users: jnp.ndarray,       # [S, B] i32
+                            items: jnp.ndarray,       # [S, B] i32
+                            ratings: jnp.ndarray,     # [S, B] f32
+                            mask: jnp.ndarray,        # [S, B] f32
+                            lr_emb: jnp.ndarray, lr_bias: jnp.ndarray,
+                            *, loss_kind: str = 'mse',
+                            y_range=None,
+                            interpret: bool = False) -> Tuple[jnp.ndarray, ...]:
+    """Run one explicit-feedback training epoch; returns ``(user_emb,
+    item_emb, user_bias, item_bias, mu_u, nu_u, mu_i, nu_i, count,
+    losses[S])``."""
+    U, D = user_emb.shape
+    I = item_emb.shape[0]
+    S, B = users.shape
+    C = _chunk_size(B)
+
+    users3 = users.reshape(S, 1, B)
+    items3 = items.reshape(S, 1, B)
+    ratings3 = ratings.astype(jnp.float32).reshape(S, 1, B)
+    mask3 = mask.reshape(S, 1, B)
+    ubias_row = user_bias.reshape(1, U)
+    ibias_row = item_bias.reshape(1, I)
+    count2 = count.reshape(1, 1).astype(jnp.int32)
+    denoms = jnp.maximum(mask.sum(axis=1), 1.0).astype(jnp.float32)\
+        .reshape(1, S)
+    t = count.astype(jnp.float32) + 1.0 + jnp.arange(S, dtype=jnp.float32)
+    bc1s = (1.0 - ADAM_B1 ** t).reshape(1, S)
+    bc2s = (1.0 - ADAM_B2 ** t).reshape(1, S)
+    lr_e = jnp.asarray(lr_emb, jnp.float32).reshape(1, 1)
+    lr_b = jnp.asarray(lr_bias, jnp.float32).reshape(1, 1)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda s: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    assert loss_kind in ('mse', 'mae'), loss_kind
+    kernel = functools.partial(_explicit_epoch_kernel, U=U, I=I, D=D, B=B,
+                               C=C, loss_kind=loss_kind, y_range=y_range)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            full((U, D)), full((I, D)), full((1, U)), full((1, I)),
+            full((U, D)), full((U, D)), full((I, D)), full((I, D)),
+            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            full((U, D)), full((I, D)), full((1, U)), full((1, I)),
+            full((U, D)), full((U, D)), full((I, D)), full((I, D)),
+            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((U, D), jnp.float32),
+            jax.ShapeDtypeStruct((I, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, U), jnp.float32),
+            jax.ShapeDtypeStruct((1, I), jnp.float32),
+            jax.ShapeDtypeStruct((U, D), jnp.float32),
+            jax.ShapeDtypeStruct((U, D), jnp.float32),
+            jax.ShapeDtypeStruct((I, D), jnp.float32),
+            jax.ShapeDtypeStruct((I, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, S), jnp.float32),
+        ],
+        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3, 13: 4, 14: 5,
+                              15: 6, 16: 7, 17: 8},
+        scratch_shapes=[
+            pltpu.VMEM((U, D), jnp.float32),
+            pltpu.VMEM((I, D), jnp.float32),
+            pltpu.VMEM((1, U), jnp.float32),
+            pltpu.VMEM((1, I), jnp.float32),
+        ],
+        interpret=interpret,
+    )(users3, items3, ratings3, mask3, denoms, bc1s, bc2s, lr_e, lr_b,
+      user_emb, item_emb, ubias_row, ibias_row, mu_u, nu_u, mu_i, nu_i,
+      count2)
+
+    (new_ue, new_ie, new_ub, new_ib,
+     new_mu_u, new_nu_u, new_mu_i, new_nu_i, new_count2, losses) = out
+    return (new_ue, new_ie, new_ub.reshape(U), new_ib.reshape(I),
+            new_mu_u, new_nu_u, new_mu_i, new_nu_i,
+            new_count2.reshape(()).astype(count.dtype), losses.reshape(S))
 
 
 @functools.partial(jax.jit, static_argnames=('K', 'adaptive', 'loss_kind',

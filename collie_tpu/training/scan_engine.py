@@ -68,23 +68,32 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
     if type(model) is not MatrixFactorizationModel:
         return None
     inter = loader.interactions
-    if isinstance(inter, ExplicitInteractions):
-        return None
+    explicit = isinstance(inter, ExplicitInteractions)
     hp = model.hparams
-    if hp.get('dropout_p', 0.0) or hp.get('y_range') is not None \
-            or hp.get('weight_decay', 0.0):
+    if hp.get('dropout_p', 0.0) or hp.get('weight_decay', 0.0):
+        return None
+    if not explicit and hp.get('y_range') is not None:
         return None
     if model.metadata_for_loss:
         return None
     from collie_tpu.ops import losses as L
-    _kernel_losses = {L.hinge_loss: ('hinge', False),
-                      L.adaptive_hinge_loss: ('hinge', True),
-                      L.bpr_loss: ('bpr', False),
-                      L.adaptive_bpr_loss: ('bpr', True),
-                      L.warp_loss: ('warp', False)}
-    if model.loss_function not in _kernel_losses:
-        return None
-    loss_kind, adaptive = _kernel_losses[model.loss_function]
+    if explicit:
+        # pointwise twin kernel: mse/mae, y_range allowed (the reference's
+        # explicit quickstart config uses y_range=[1, 5])
+        _explicit_losses = {L.mse_loss: 'mse', L.mae_loss: 'mae'}
+        if model.loss_function not in _explicit_losses:
+            return None
+        loss_kind = _explicit_losses[model.loss_function]
+        adaptive = False
+    else:
+        _kernel_losses = {L.hinge_loss: ('hinge', False),
+                          L.adaptive_hinge_loss: ('hinge', True),
+                          L.bpr_loss: ('bpr', False),
+                          L.adaptive_bpr_loss: ('bpr', True),
+                          L.warp_loss: ('warp', False)}
+        if model.loss_function not in _kernel_losses:
+            return None
+        loss_kind, adaptive = _kernel_losses[model.loss_function]
     # the default dual layout: adam over both embedding tables, sgd biases
     if hp.get('optimizer') not in ('adam', 'sparse_adam'):
         return None
@@ -106,7 +115,10 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
                         hp['embedding_dim'], loader.batch_size) \
             > _VMEM_BUDGET_BYTES:
         return None
+    y_range = hp.get('y_range')
     return {'adaptive': adaptive, 'loss_kind': loss_kind,
+            'explicit': explicit,
+            'y_range': tuple(y_range) if y_range is not None else None,
             'emb_idx': emb_idx, 'bias_idx': bias_idx}
 
 
@@ -293,10 +305,11 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         return batches
 
     fused_cfg = None
-    if training and not explicit:
+    if training:
         fused_cfg = _fused_epoch_config(model, specs, active, loader, mesh)
     if fused_cfg is not None:
-        from collie_tpu.ops.pallas.fused_mf_epoch import fused_mf_epoch
+        from collie_tpu.ops.pallas.fused_mf_epoch import (
+            fused_mf_epoch, fused_mf_explicit_epoch)
         from collie_tpu.training.optimizers import _find_hyperparams
         emb_idx, bias_idx = fused_cfg['emb_idx'], fused_cfg['bias_idx']
         adaptive = fused_cfg['adaptive']
@@ -313,18 +326,36 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
             adam = _find_adam_state(opt_states[emb_idx])
             lr_e = _find_hyperparams(opt_states[emb_idx])['learning_rate']
             lr_b = _find_hyperparams(opt_states[bias_idx])['learning_rate']
-            (ue, ie, ib, mu_u, nu_u, mu_i, nu_i, cnt, losses) = fused_mf_epoch(
-                params['user_embeddings'], params['item_embeddings'],
-                params['item_biases'],
-                adam.mu['user_embeddings'], adam.nu['user_embeddings'],
-                adam.mu['item_embeddings'], adam.nu['item_embeddings'],
-                adam.count,
-                batches['users'], batches['pos_items'], batches['neg_items'],
-                batches['mask'], lr_e, lr_b,
-                K=K, adaptive=adaptive, loss_kind=loss_kind,
-                interpret=interpret)
-            new_params = {**params, 'user_embeddings': ue,
-                          'item_embeddings': ie, 'item_biases': ib}
+            if fused_cfg['explicit']:
+                (ue, ie, ub, ib, mu_u, nu_u, mu_i, nu_i, cnt,
+                 losses) = fused_mf_explicit_epoch(
+                    params['user_embeddings'], params['item_embeddings'],
+                    params['user_biases'], params['item_biases'],
+                    adam.mu['user_embeddings'], adam.nu['user_embeddings'],
+                    adam.mu['item_embeddings'], adam.nu['item_embeddings'],
+                    adam.count,
+                    batches['users'], batches['items'], batches['ratings'],
+                    batches['mask'], lr_e, lr_b,
+                    loss_kind=loss_kind, y_range=fused_cfg['y_range'],
+                    interpret=interpret)
+                new_params = {**params, 'user_embeddings': ue,
+                              'item_embeddings': ie, 'user_biases': ub,
+                              'item_biases': ib}
+            else:
+                (ue, ie, ib, mu_u, nu_u, mu_i, nu_i, cnt,
+                 losses) = fused_mf_epoch(
+                    params['user_embeddings'], params['item_embeddings'],
+                    params['item_biases'],
+                    adam.mu['user_embeddings'], adam.nu['user_embeddings'],
+                    adam.mu['item_embeddings'], adam.nu['item_embeddings'],
+                    adam.count,
+                    batches['users'], batches['pos_items'],
+                    batches['neg_items'],
+                    batches['mask'], lr_e, lr_b,
+                    K=K, adaptive=adaptive, loss_kind=loss_kind,
+                    interpret=interpret)
+                new_params = {**params, 'user_embeddings': ue,
+                              'item_embeddings': ie, 'item_biases': ib}
             import optax
             new_adam = optax.ScaleByAdamState(
                 count=cnt,

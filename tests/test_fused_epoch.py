@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tests.fixtures.model_fixtures import implicit_sets, implicit_train  # noqa: F401
+from tests.fixtures.model_fixtures import (explicit_sets,  # noqa: F401
+                                           implicit_sets, implicit_train)
 
 from collie_tpu.data import InteractionsDataLoader
 from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
@@ -91,6 +92,69 @@ def test_fused_epoch_matches_scan_engine(implicit_train, monkeypatch, loss):
         else:
             scale = np.maximum(np.abs(np.asarray(b)).max(), 1e-3)
             np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=0)
+
+
+def _train_explicit_epochs(explicit_sets, monkeypatch, fused: bool, *,
+                           loss='mse', y_range=None, epochs=3,
+                           batch_size=1024, dim=8, lr=1e-2):
+    monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '1' if fused else '0')
+    loader = InteractionsDataLoader(interactions=explicit_sets[0],
+                                    batch_size=batch_size, shuffle=True,
+                                    seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=dim, lr=lr,
+                                     loss=loss, y_range=y_range, seed=0)
+    specs = model.optimizer_specs()
+    fn, data, S, n = build_scan_epoch_fns(model, specs, [True] * len(specs),
+                                          loader, shuffle=True, training=True)
+    params = {k: jnp.asarray(v) for k, v in model.params.items()}
+    opt_states = tuple(
+        jax.jit(spec.transform.init)({k: params[k] for k in spec.keys})
+        for spec in specs)
+    losses = []
+    for e in range(epochs):
+        params, opt_states, loss_val = fn(params, opt_states, data,
+                                          jax.random.PRNGKey(0), np.int32(e))
+        losses.append(float(loss_val))
+    return (jax.device_get(params), jax.device_get(opt_states), losses, S)
+
+
+@pytest.mark.parametrize('loss,y_range', [('mse', None), ('mae', None),
+                                          ('mse', (1.0, 5.0))])
+def test_fused_explicit_epoch_matches_scan_engine(explicit_sets, monkeypatch,
+                                                  loss, y_range):
+    """Explicit (pointwise) twin kernel: params, losses, and optimizer states
+    must match the XLA scan engine — including the USER bias, which carries
+    gradient under pointwise losses (it cancels under the ranking losses),
+    and the y_range sigmoid rescale's chain rule."""
+    p_fused, s_fused, l_fused, S = _train_explicit_epochs(
+        explicit_sets, monkeypatch, fused=True, loss=loss, y_range=y_range)
+    p_scan, s_scan, l_scan, _ = _train_explicit_epochs(
+        explicit_sets, monkeypatch, fused=False, loss=loss, y_range=y_range)
+
+    for k in p_scan:
+        scale = np.maximum(np.abs(p_scan[k]).max(), 1e-3)
+        np.testing.assert_allclose(
+            p_fused[k], p_scan[k], atol=5e-4 * scale, rtol=0,
+            err_msg=f'param {k} diverged between engines')
+    np.testing.assert_allclose(l_fused, l_scan, rtol=1e-4)
+
+    flat_f, tree_f = jax.tree_util.tree_flatten(s_fused)
+    flat_s, tree_s = jax.tree_util.tree_flatten(s_scan)
+    assert tree_f == tree_s, 'optimizer state trees differ between engines'
+    for a, b in zip(flat_f, flat_s):
+        if np.issubdtype(np.asarray(a).dtype, np.integer):
+            np.testing.assert_array_equal(a, b)
+        else:
+            scale = np.maximum(np.abs(np.asarray(b)).max(), 1e-3)
+            np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=0)
+
+
+def test_fused_explicit_user_bias_learns(explicit_sets, monkeypatch):
+    """The explicit kernel must actually move the user biases (a frozen user
+    bias would still pass a too-loose parity tolerance)."""
+    p_fused, _, _, _ = _train_explicit_epochs(explicit_sets, monkeypatch,
+                                              fused=True, epochs=2)
+    assert np.abs(p_fused['user_biases']).max() > 1e-4
 
 
 def test_fused_epoch_through_trainer(implicit_train, monkeypatch):
