@@ -54,6 +54,7 @@ def build_stage_fns(model, loader, dedup_rounds=1):
     num_items = inter.num_items
 
     from collie_tpu.ops.device_sampling import (
+        complement_sample_negatives_bucketed_impl,
         complement_sample_negatives_impl,
         complement_sample_negatives_padded_impl)
 
@@ -65,7 +66,12 @@ def build_stage_fns(model, loader, dedup_rounds=1):
         perm = jax.random.permutation(perm_rng, n)[:n_used]
         idx = jnp.concatenate([perm, perm[:1].repeat(pad)]) if pad else perm
         users_flat = data['rows'][idx]
-        if 'shifted_pad' in data:     # engine auto-selected the padded sampler
+        if 'bucket_specs' in data:  # engine auto-selected the bucketed sampler
+            negs = complement_sample_negatives_bucketed_impl(
+                sample_rng, users_flat, idx, n_used, n,
+                data['bucket_specs'], data['row_counts'], num_items, K,
+                dedup_rounds=dedup_rounds)
+        elif 'shifted_pad' in data:   # padded sampler (COLLIE_TPU_SAMPLER=padded)
             negs = complement_sample_negatives_padded_impl(
                 sample_rng, users_flat, data['shifted_pad'],
                 data['row_counts'], num_items, K, dedup_rounds=dedup_rounds)
@@ -229,8 +235,13 @@ def main():
                                               8192))
         print(json.dumps(results['runs'][-1]), flush=True)
 
-    with open(Path(__file__).parent / 'profile_train_results.json', 'w') as f:
-        json.dump(results, f, indent=2)
+    if jax.default_backend() == 'tpu':
+        with open(Path(__file__).parent / 'profile_train_results.json',
+                  'w') as f:
+            json.dump(results, f, indent=2)
+    else:
+        print('# non-TPU backend: not overwriting profile_train_results.json',
+              flush=True)
 
 
 if __name__ == '__main__':

@@ -91,6 +91,10 @@ def fused_vmem_bytes(num_users: int, num_items: int, dim: int,
     grads = (num_users + num_items) * d * 4             # accumulators
     c = _chunk_size(batch_size)
     blocks = 5 * c * _lane_pad(num_items) * 4           # s_all, dS, one-hots
+    # user-side chunk blocks: iota_u (i32), uo (f32), + a transposed-matmul
+    # operand — user-heavy shapes must not pass the check and then blow VMEM
+    # at Mosaic compile time (there is no fallback past this gate)
+    blocks += 3 * c * _lane_pad(num_users) * 4
     bias = 2 * 8 * (_lane_pad(num_items) + _lane_pad(num_users)) * 4
     return tables + grads + blocks + bias
 

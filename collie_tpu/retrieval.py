@@ -87,12 +87,20 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
 
         n_tiles = -(-num_items // item_tile)
 
-        def retrieve(params, user_ids, seen=None):
+        @jax.jit
+        def _retrieve_jit(params, user_ids, seen=None):
             top_scores, top_ids = _local_topk(
                 params, user_ids, seen, 0, num_items, n_tiles)
             return top_ids, top_scores
 
-        return jax.jit(retrieve)
+        def retrieve(params, user_ids, seen=None):
+            if filter_seen and seen is None:
+                raise ValueError(
+                    'filter_seen=True requires seen=(indptr, cols) CSR '
+                    'arrays of the interactions to exclude')
+            return _retrieve_jit(params, user_ids, seen)
+
+        return retrieve
 
     return _build_sharded_retrieval(model, k, item_tile, filter_seen,
                                     mesh, _local_topk)
@@ -171,6 +179,11 @@ def _build_sharded_retrieval(model, k, item_tile, filter_seen, mesh, _local_topk
         return top_scores, top_ids
 
     def retrieve(params, user_ids, seen=None):
+        if filter_seen and seen is None:
+            raise ValueError(
+                'filter_seen=True requires seen=(indptr, cols) CSR '
+                'arrays of the interactions to exclude')
+
         def shard_body(params, user_ids, seen):
             shard_idx = jax.lax.axis_index(MODEL_AXIS)
             start = shard_idx * shard_span

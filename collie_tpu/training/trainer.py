@@ -200,7 +200,9 @@ class CollieTrainer:
                     dedup_rounds=self.exact_sampling_dedup_rounds))
         if use_scan_val:
             self._device_put_loss_metadata(model)
-            key = ('val', stage, mesh_key)
+            # path_flags matters for implicit val too: the val epoch samples
+            # negatives through the same env-gated sampler selection
+            key = ('val', stage, mesh_key, path_flags)
             val_epoch_fn, val_epoch_data, _, _ = _loader_slot(
                 key, model.val_loader, lambda: build_scan_epoch_fns(
                     model, specs, active, model.val_loader, shuffle=False,
@@ -365,6 +367,19 @@ class CollieTrainer:
                     jnp.asarray(0, jnp.int32),
                     jnp.asarray(False), jnp.asarray(False))
         sched_state = sched_init
+
+        # seed the lr-change replay with the PRE-fit lrs so a reduction that
+        # fires on the first dispatched epoch still prints (host-loop parity).
+        # Fetched before dispatch (the fit program donates opt states) and
+        # only when the print can happen — silent fits pay no extra RPC.
+        initial_lrs = [None] * len(specs)
+        if self.verbosity > 0 and any(k != 'none' for k in kinds):
+            from collie_tpu.training.optimizers import _find_hyperparams
+            initial_lrs = [
+                float(v) if v is not None else None
+                for v in jax.device_get(tuple(
+                    _find_hyperparams(state_box['opt_states'][i])
+                    .get('learning_rate') for i in range(len(specs))))]
         tl_parts, vl_parts, lrs_parts, ran_parts = [], [], [], []
         block_start = start_epoch
         for b in blocks:
@@ -400,7 +415,7 @@ class CollieTrainer:
         ran_np = np.concatenate(ran_parts)
         nan_seen = bool(es_state[3])
         num_epochs = len(tl)                        # epochs dispatched
-        prev_lrs = [None] * len(specs)
+        prev_lrs = list(initial_lrs)
 
         for j in range(num_epochs):
             if not ran_np[j]:
@@ -438,8 +453,6 @@ class CollieTrainer:
                 prev_lrs[i] = lr_now
             if monitored < self.best_epoch_loss[1]:
                 self.best_epoch_loss = (epoch, monitored)
-        else:
-            j = num_epochs  # every epoch ran
 
         if nan_seen:
             # defensive: the per-epoch replay above should already have raised
@@ -566,8 +579,10 @@ class CollieTrainer:
         same-shape batches into ``lax.scan`` chunks of
         ``COLLIE_TPU_STEP_SCAN_GROUP`` (default 16) steps — one dispatch per
         group instead of per batch, which matters on tunneled TPUs where a
-        dispatch costs ~2 ms.  Ragged batches and group tails run through the
-        single-step program (bit-identical RNG: the chunk folds
+        dispatch costs ~2 ms.  Group tails decompose into power-of-two
+        sub-chunks (2/4/8/...) so distinct chunk compilations stay bounded at
+        log2(G) per batch signature; odd singles and ragged batches run
+        through the single-step program (bit-identical RNG: the chunk folds
         ``step0 + i``), and the mesh path keeps per-step dispatch (batch
         sharding is per-batch)."""
         import os
@@ -593,26 +608,21 @@ class CollieTrainer:
                 self.logger.log_metrics({'train_loss_step': float(loss)},
                                         step=self.global_step)
 
-        def flush_group():
+        def run_chunk(sub):
             nonlocal params, opt_states, total_examples
-            if len(group) < 2:
-                for b in group:
-                    run_single(b)
-                group.clear()
-                return
-            stacked = {k: np.stack([b[k] for b in group])
-                       for k in group[0]}
+            stacked = {k: np.stack([b[k] for b in sub])
+                       for k in sub[0]}
             step0 = self.global_step
             params, opt_states, chunk_losses = train_chunk(
                 params, opt_states, stacked, base_rng, np.int32(step0))
             losses.append(chunk_losses)
-            for j, b in enumerate(group):
+            for b in sub:
                 total_examples += int(b['mask'].sum()) if 'mask' in b \
                     else len(b['users'])
-            self.global_step += len(group)
+            self.global_step += len(sub)
             if self.logger is not None:
                 host_losses = None
-                for j in range(len(group)):
+                for j in range(len(sub)):
                     step = step0 + 1 + j
                     if step % self.log_every_n_steps == 0:
                         if host_losses is None:
@@ -620,17 +630,35 @@ class CollieTrainer:
                         self.logger.log_metrics(
                             {'train_loss_step': float(host_losses[j])},
                             step=step)
-            group.clear()
 
+        def flush_group():
+            # power-of-two ladder (the whole-fit engine's idiom): tails run
+            # through 2/4/8/... chunk programs, so the set of distinct chunk
+            # compilations is bounded at log2(G) per batch signature instead
+            # of one 30-90 s remote compile per tail length encountered
+            while group:
+                if len(group) == 1:
+                    run_single(group.pop(0))
+                    continue
+                b = min(1 << (len(group).bit_length() - 1), G)
+                run_chunk(group[:b])
+                del group[:b]
+
+        def batch_signature(b):
+            def _dt(v):
+                dt = getattr(v, 'dtype', None)  # no host copy for jnp arrays
+                return dt if dt is not None else np.asarray(v).dtype
+            return {k: (np.shape(v), _dt(v)) for k, v in b.items()}
+
+        group_sig = None
         for batch in model.train_loader:
             if not use_chunk:
                 run_single(batch)
                 continue
-            if group and (batch.keys() != group[0].keys() or any(
-                    np.shape(batch[k]) != np.shape(group[0][k])
-                    or np.asarray(batch[k]).dtype != np.asarray(group[0][k]).dtype
-                    for k in group[0])):
+            sig = batch_signature(batch)
+            if group and sig != group_sig:
                 flush_group()
+            group_sig = sig
             group.append(batch)
             if len(group) == G:
                 flush_group()

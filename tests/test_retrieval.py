@@ -195,3 +195,14 @@ def test_pallas_kernel_edge_envelopes(B, tile, k):
 def test_recommend_k_exceeding_catalog_raises(trained_mf_model):
     with pytest.raises(ValueError, match='must not exceed'):
         recommend(trained_mf_model, [0], k=trained_mf_model.hparams['num_items'] + 1)
+
+
+def test_build_retrieval_fn_filter_seen_requires_seen(trained_mf_model):
+    """filter_seen=True without seen CSR arrays must raise a clear error at
+    call time, not a cryptic unpack failure inside jit tracing."""
+    from collie_tpu.retrieval import build_retrieval_fn
+
+    fn = build_retrieval_fn(trained_mf_model, k=5, filter_seen=True)
+    users = np.arange(4)
+    with pytest.raises(ValueError, match='filter_seen'):
+        fn(trained_mf_model.params, users)

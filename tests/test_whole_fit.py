@@ -241,3 +241,31 @@ def test_hdf5_chunked_steps_match_per_step(tmp_path, monkeypatch):
     p_chunk, p_single = run('16'), run('1')
     for k in p_single:
         np.testing.assert_allclose(p_chunk[k], p_single[k], rtol=0, atol=1e-6)
+
+
+def test_val_program_rebuilds_when_sampler_env_changes(implicit_sets,
+                                                       monkeypatch):
+    """The val epoch samples negatives through the same env-gated sampler
+    selection as training, so the val program cache key must include the
+    path flags: flipping COLLIE_TPU_SAMPLER between fits has to build a new
+    ('val', ...) slot, not silently reuse the one with the old sampler baked
+    in (the f4dc819 staleness class)."""
+    train, test = implicit_sets
+    monkeypatch.setenv('COLLIE_TPU_SAMPLER', 'csr')
+    loader = InteractionsDataLoader(interactions=train, batch_size=1024,
+                                    shuffle=True, seed=0)
+    val_loader = InteractionsDataLoader(interactions=test, batch_size=1024,
+                                        shuffle=False, seed=0)
+    model = MatrixFactorizationModel(train=loader, val=val_loader,
+                                     embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0)
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=0).fit(model)
+    val_keys = {k for k in model._compiled_fn_cache if k[0] == 'val'}
+    assert val_keys, 'expected a val program slot'
+
+    monkeypatch.setenv('COLLIE_TPU_SAMPLER', 'bucketed')
+    model.hparams['num_epochs_completed'] = 0
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=0).fit(model)
+    val_keys_after = {k for k in model._compiled_fn_cache if k[0] == 'val'}
+    assert val_keys_after > val_keys, \
+        'changing COLLIE_TPU_SAMPLER must build a new val program slot'
