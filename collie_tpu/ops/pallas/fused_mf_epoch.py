@@ -42,16 +42,17 @@ from XLA's scatter-add order by O(1e-6) — covered by tolerance tests in
 ``tests/test_fused_epoch.py``.
 
 Supported envelope (checked by ``scan_engine._fused_epoch_config``):
-``MatrixFactorizationModel`` with no loss metadata, ``dropout_p == 0``, zero
+``MatrixFactorizationModel`` with ``dropout_p == 0``, zero
 weight decay, the default dual-optimizer layout (adam embeddings + sgd
 biases), single device, and tables + moments + score blocks within the VMEM
 budget; implicit data with hinge / adaptive-hinge / bpr / adaptive-bpr /
-warp loss (no ``y_range``), or explicit data with mse / mae loss
-(``y_range`` supported — :func:`fused_mf_explicit_epoch`).  Anything else
-falls back to the XLA scan engine.
+warp loss (no ``y_range``; partial-credit item metadata supported in-kernel),
+or explicit data with mse / mae loss (``y_range`` supported —
+:func:`fused_mf_explicit_epoch`).  Anything else falls back to the XLA scan
+engine.
 """
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -100,6 +101,7 @@ def fused_vmem_bytes(num_users: int, num_items: int, dim: int,
 
 
 def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
+                  meta_ref,                                   # [F, I] i32 VMEM
                   denoms_ref, bc1_ref, bc2_ref,               # [1, S] SMEM
                   lr_emb_ref, lr_bias_ref,                    # SMEM scalars
                   ue_in, ie_in, ib_in, muu_in, nuu_in, mui_in, nui_in,
@@ -108,7 +110,7 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
                   mu_u_ref, nu_u_ref, mu_i_ref, nu_i_ref, count_ref,
                   loss_ref,                                   # [1, S] SMEM
                   du_ref, di_ref, db_ref,                     # VMEM scratch
-                  *, U, I, D, B, K, C, adaptive, loss_kind):
+                  *, U, I, D, B, K, C, adaptive, loss_kind, meta_weights):
     f32 = jnp.float32
 
     # Output windows start UNINITIALIZED on Mosaic (input_output_aliases
@@ -159,18 +161,39 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
         pos_oh = iota_i == p[:, None]
         pos_score = jnp.sum(jnp.where(pos_oh, s_b, 0.0), axis=1)   # [C]
 
-        def pair_loss_grad(d):
+        if meta_weights:
+            # "partial credit" ideal score gap (ops/losses.py::
+            # ideal_difference_from_metadata, reference metadata_utils.py:
+            # 6-71): gather each field's category id for the positive once
+            # per chunk via the same one-hot mask-sum the scores use
+            pos_meta = [jnp.sum(jnp.where(pos_oh, meta_ref[f:f + 1, :], 0),
+                                axis=1) for f in range(len(meta_weights))]
+
+        def ideal_for(neg_oh):
+            """Ideal pos-neg gap vs the negatives selected by ``neg_oh``:
+            1 minus the summed weights of matching metadata fields."""
+            if not meta_weights:
+                return 1.0
+            ideal = jnp.ones((C,), f32)
+            for f, wgt in enumerate(meta_weights):
+                neg_meta = jnp.sum(jnp.where(neg_oh, meta_ref[f:f + 1, :], 0),
+                                   axis=1)
+                ideal = ideal - wgt * (pos_meta[f] == neg_meta).astype(f32)
+            return ideal
+
+        def pair_loss_grad(d, ideal):
             """Per-pair composite loss element + score-gradient magnitude.
 
             ``l`` is the elementwise loss; ``g = w*(1+2l)*dfac/denom`` is
             ``dLoss/d(neg_score) = -dLoss/d(pos_score)`` under the composite
-            ``(Σl+Σl²)/Σw`` reduction (``ops/losses.py:69-78``)."""
+            ``(Σl+Σl²)/Σw`` reduction (``ops/losses.py:69-78``).  ``ideal``
+            shifts the margin/target but never the derivative factor."""
             if loss_kind == 'hinge':                          # hinge.py:8-85
-                l = jnp.maximum(1.0 - d, 0.0)
+                l = jnp.maximum(ideal - d, 0.0)
                 dfac = (l > 0.0).astype(f32)
             else:                                             # bpr.py:8-89
                 s = jax.nn.sigmoid(d)
-                l = 1.0 - s
+                l = ideal - s
                 dfac = s * (1.0 - s)
             g = w * (1.0 + 2.0 * l) * dfac / denom
             return l, g
@@ -193,7 +216,7 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
                 nk = negs_ref[0, 0, pl.ds(k * B + c * C, C)]
                 oh = iota_i == nk[:, None]
                 sk = jnp.sum(jnp.where(oh, s_b, 0.0), axis=1)
-                hk = 1.0 - pos_score + sk
+                hk = ideal_for(oh) - pos_score + sk
                 take = jnp.logical_and(hk > 0.0, jnp.logical_not(found))
                 first_item = jnp.where(take, nk, first_item)
                 first_hinge = jnp.where(take, hk, first_hinge)
@@ -221,17 +244,19 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
                 better = sk > best
                 best = jnp.where(better, sk, best)
                 best_item = jnp.where(better, nk, best_item)
-            l, g = pair_loss_grad(pos_score - best)
+            # metadata credit applies to the SELECTED negative (selection is
+            # by raw score — reference hinge.py:157-164)
+            best_oh = iota_i == best_item[:, None]
+            l, g = pair_loss_grad(pos_score - best, ideal_for(best_oh))
             loss_row = loss_row + ((l + l * l) * w).reshape(1, C)
             dS = dS - jnp.where(pos_oh, g[:, None], 0.0)
-            dS = dS + jnp.where(iota_i == best_item[:, None],
-                                g[:, None], 0.0)
+            dS = dS + jnp.where(best_oh, g[:, None], 0.0)
         else:
             for k in range(K):
                 nk = negs_ref[0, 0, pl.ds(k * B + c * C, C)]
                 oh = iota_i == nk[:, None]
                 sk = jnp.sum(jnp.where(oh, s_b, 0.0), axis=1)
-                l, g = pair_loss_grad(pos_score - sk)
+                l, g = pair_loss_grad(pos_score - sk, ideal_for(oh))
                 loss_row = loss_row + ((l + l * l) * w).reshape(1, C)
                 dS = dS - jnp.where(pos_oh, g[:, None], 0.0)
                 dS = dS + jnp.where(oh, g[:, None], 0.0)
@@ -515,7 +540,7 @@ def fused_mf_explicit_epoch(user_emb: jnp.ndarray,    # [U, D] f32
 
 
 @functools.partial(jax.jit, static_argnames=('K', 'adaptive', 'loss_kind',
-                                             'interpret'))
+                                             'meta_weights', 'interpret'))
 def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
                    item_emb: jnp.ndarray,      # [I, D] f32
                    item_bias: jnp.ndarray,     # [I] f32
@@ -527,14 +552,25 @@ def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
                    negs: jnp.ndarray,          # [S, B, K] i32
                    mask: jnp.ndarray,          # [S, B] f32
                    lr_emb: jnp.ndarray, lr_bias: jnp.ndarray,
+                   meta_rows: Optional[jnp.ndarray] = None,  # [F, I] int
                    *, K: int, adaptive: bool, loss_kind: str = 'hinge',
+                   meta_weights: Tuple[float, ...] = (),
                    interpret: bool = False) -> Tuple[jnp.ndarray, ...]:
     """Run one training epoch; returns ``(user_emb, item_emb, item_bias,
-    mu_u, nu_u, mu_i, nu_i, count, losses[S])``."""
+    mu_u, nu_u, mu_i, nu_i, count, losses[S])``.
+
+    ``meta_rows``/``meta_weights``: per-item categorical metadata fields and
+    their partial-credit weights (``ideal_difference_from_metadata``); when
+    empty, the ideal score gap is the constant 1.0."""
     U, D = user_emb.shape
     I = item_emb.shape[0]
     S, B = users.shape
     C = _chunk_size(B)
+    if meta_rows is None or not meta_weights:
+        meta_rows = jnp.zeros((1, I), jnp.int32)
+        meta_weights = ()
+    meta_rows = meta_rows.astype(jnp.int32)
+    F = meta_rows.shape[0]
 
     # [S, 1, K*B], k-major: per-step blocks stream with an (1, 1, K*B)
     # BlockSpec whose sublane dim equals the full axis (Mosaic alignment rule)
@@ -560,7 +596,8 @@ def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
 
     assert loss_kind in ('hinge', 'bpr', 'warp'), loss_kind
     kernel = functools.partial(_epoch_kernel, U=U, I=I, D=D, B=B, K=K, C=C,
-                               adaptive=adaptive, loss_kind=loss_kind)
+                               adaptive=adaptive, loss_kind=loss_kind,
+                               meta_weights=meta_weights)
 
     out = pl.pallas_call(
         kernel,
@@ -574,6 +611,7 @@ def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, B), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
+            full((F, I)),
             pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, S), lambda s: (0, 0), memory_space=pltpu.SMEM),
@@ -600,15 +638,15 @@ def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, S), jnp.float32),
         ],
-        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3, 13: 4, 14: 5,
-                              15: 6, 16: 7},
+        input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3, 14: 4, 15: 5,
+                              16: 6, 17: 7},
         scratch_shapes=[
             pltpu.VMEM((U, D), jnp.float32),
             pltpu.VMEM((I, D), jnp.float32),
             pltpu.VMEM((1, I), jnp.float32),
         ],
         interpret=interpret,
-    )(users3, pos3, negs_t, mask3, denoms, bc1s, bc2s, lr_e, lr_b,
+    )(users3, pos3, negs_t, mask3, meta_rows, denoms, bc1s, bc2s, lr_e, lr_b,
       user_emb, item_emb, bias_row, mu_u, nu_u, mu_i, nu_i, count2)
 
     (new_user_emb, new_item_emb, new_bias_row,

@@ -74,8 +74,24 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
         return None
     if not explicit and hp.get('y_range') is not None:
         return None
+    meta_names = ()
     if model.metadata_for_loss:
-        return None
+        # partial-credit metadata runs in-kernel for ranking losses when it
+        # is well-formed (per-item 1-D fields, weights summing <= 1); any
+        # other shape falls back so the scan path raises the reference's
+        # own validation errors
+        weights = model.metadata_for_loss_weights
+        if explicit or not weights \
+                or set(weights) != set(model.metadata_for_loss):
+            return None
+        if sum(weights.values()) > 1:
+            return None
+        num_items = hp['num_items']
+        for arr in model.metadata_for_loss.values():
+            if jnp.ndim(arr) != 1 or jnp.shape(arr)[0] != num_items \
+                    or not jnp.issubdtype(jnp.asarray(arr).dtype, jnp.integer):
+                return None
+        meta_names = tuple(sorted(model.metadata_for_loss))
     from collie_tpu.ops import losses as L
     if explicit:
         # pointwise twin kernel: mse/mae, y_range allowed (the reference's
@@ -119,6 +135,7 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
     return {'adaptive': adaptive, 'loss_kind': loss_kind,
             'explicit': explicit,
             'y_range': tuple(y_range) if y_range is not None else None,
+            'meta_names': meta_names,
             'emb_idx': emb_idx, 'bias_idx': bias_idx}
 
 
@@ -342,6 +359,13 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                               'item_embeddings': ie, 'user_biases': ub,
                               'item_biases': ib}
             else:
+                meta_names = fused_cfg['meta_names']
+                meta_rows = (jnp.stack([
+                    jnp.asarray(model.metadata_for_loss[n], jnp.int32)
+                    for n in meta_names]) if meta_names else None)
+                meta_weights = tuple(
+                    float(model.metadata_for_loss_weights[n])
+                    for n in meta_names)
                 (ue, ie, ib, mu_u, nu_u, mu_i, nu_i, cnt,
                  losses) = fused_mf_epoch(
                     params['user_embeddings'], params['item_embeddings'],
@@ -351,8 +375,9 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                     adam.count,
                     batches['users'], batches['pos_items'],
                     batches['neg_items'],
-                    batches['mask'], lr_e, lr_b,
+                    batches['mask'], lr_e, lr_b, meta_rows,
                     K=K, adaptive=adaptive, loss_kind=loss_kind,
+                    meta_weights=meta_weights,
                     interpret=interpret)
                 new_params = {**params, 'user_embeddings': ue,
                               'item_embeddings': ie, 'item_biases': ib}

@@ -26,7 +26,8 @@ from collie_tpu.training.scan_engine import (_fused_epoch_config,
 
 
 def _train_epochs(implicit_train, monkeypatch, fused: bool, *, loss='adaptive',
-                  epochs=3, batch_size=1024, dim=8, lr=1e-1):
+                  epochs=3, batch_size=1024, dim=8, lr=1e-1, metadata=None,
+                  metadata_weights=None):
     monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '1' if fused else '0')
     # like-for-like reference: the kernel mirrors the *dense* adaptive
     # computation, while the scan engine defaults to the sparse-hardest
@@ -38,7 +39,9 @@ def _train_epochs(implicit_train, monkeypatch, fused: bool, *, loss='adaptive',
                                     batch_size=batch_size, shuffle=True,
                                     seed=0)
     model = MatrixFactorizationModel(train=loader, embedding_dim=dim, lr=lr,
-                                     loss=loss, seed=0)
+                                     loss=loss, seed=0,
+                                     metadata_for_loss=metadata,
+                                     metadata_for_loss_weights=metadata_weights)
     specs = model.optimizer_specs()
     fn, data, S, n = build_scan_epoch_fns(model, specs, [True] * len(specs),
                                           loader, shuffle=True, training=True)
@@ -92,6 +95,72 @@ def test_fused_epoch_matches_scan_engine(implicit_train, monkeypatch, loss):
         else:
             scale = np.maximum(np.abs(np.asarray(b)).max(), 1e-3)
             np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=0)
+
+
+@pytest.mark.parametrize('loss', ['hinge', 'adaptive', 'bpr', 'warp'])
+def test_fused_epoch_metadata_matches_scan_engine(implicit_train, monkeypatch,
+                                                  loss):
+    """Partial-credit item metadata in-kernel: the ideal score gap
+    (1 - Σ matched weights) must shift every loss family identically to the
+    scan engine's ideal_difference_from_metadata path — including credit on
+    the SELECTED negative for adaptive losses and per-trial credit inside
+    WARP's first-violation scan."""
+    num_items = implicit_train.num_items
+    rng = np.random.default_rng(5)
+    metadata = {'genre': rng.integers(0, 8, num_items),
+                'decade': rng.integers(0, 5, num_items)}
+    weights = {'genre': 0.25, 'decade': 0.15}
+    epochs = 1 if loss == 'bpr' else 2
+    kw = dict(metadata=metadata, metadata_weights=weights, epochs=epochs,
+              loss=loss)
+    p_fused, _, l_fused, _ = _train_epochs(implicit_train, monkeypatch,
+                                           fused=True, **kw)
+    p_scan, _, l_scan, _ = _train_epochs(implicit_train, monkeypatch,
+                                         fused=False, **kw)
+    for k in p_scan:
+        scale = np.maximum(np.abs(p_scan[k]).max(), 1e-3)
+        np.testing.assert_allclose(p_fused[k], p_scan[k],
+                                   atol=5e-4 * scale, rtol=0, err_msg=k)
+    np.testing.assert_allclose(l_fused, l_scan, rtol=1e-4)
+
+    # the metadata must actually change the computation vs no-metadata
+    p_nometa, _, l_nometa, _ = _train_epochs(implicit_train, monkeypatch,
+                                             fused=True, epochs=epochs,
+                                             loss=loss)
+    assert not np.allclose(l_fused, l_nometa), \
+        'metadata had no effect on the fused loss'
+
+
+def test_fused_envelope_metadata_gating(implicit_train, monkeypatch):
+    """Well-formed integer per-item metadata stays on the fused tier; any
+    other shape (weights > 1, float fields, wrong length) falls back so the
+    scan path raises the reference's own validation errors."""
+    num_items = implicit_train.num_items
+    rng = np.random.default_rng(5)
+    good = {'genre': rng.integers(0, 8, num_items)}
+
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=1024, seed=0)
+
+    m = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                 loss='adaptive', seed=0,
+                                 metadata_for_loss=good,
+                                 metadata_for_loss_weights={'genre': 0.3})
+    cfg = _config_for(m, loader, monkeypatch)
+    assert cfg is not None and cfg['meta_names'] == ('genre',)
+
+    for metadata, weights in (
+            (good, {'genre': 1.5}),                               # Σw > 1
+            ({'genre': good['genre'].astype(np.float32)},
+             {'genre': 0.3}),                                     # float field
+            ({'genre': good['genre'][:-1]}, {'genre': 0.3}),      # wrong len
+            (good, None),                                         # no weights
+    ):
+        m = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0,
+                                     metadata_for_loss=metadata,
+                                     metadata_for_loss_weights=weights)
+        assert _config_for(m, loader, monkeypatch) is None, (metadata, weights)
 
 
 def _train_explicit_epochs(explicit_sets, monkeypatch, fused: bool, *,
