@@ -42,10 +42,10 @@ from XLA's scatter-add order by O(1e-6) — covered by tolerance tests in
 ``tests/test_fused_epoch.py``.
 
 Supported envelope (checked by ``scan_engine._fused_epoch_config``):
-``MatrixFactorizationModel`` with ``dropout_p == 0``, zero
-weight decay, the default dual-optimizer layout (adam embeddings + sgd
-biases), single device, and tables + moments + score blocks within the VMEM
-budget; implicit data with hinge / adaptive-hinge / bpr / adaptive-bpr /
+``MatrixFactorizationModel`` with ``dropout_p == 0``, the default
+dual-optimizer layout (adam embeddings + sgd biases; torch-coupled weight
+decay runs in-kernel), single device, and tables + moments + score blocks
+within the VMEM budget; implicit data with hinge / adaptive-hinge / bpr / adaptive-bpr /
 warp loss (no ``y_range``; partial-credit item metadata supported in-kernel),
 or explicit data with mse / mae loss (``y_range`` supported —
 :func:`fused_mf_explicit_epoch`).  Anything else falls back to the XLA scan
@@ -110,7 +110,8 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
                   mu_u_ref, nu_u_ref, mu_i_ref, nu_i_ref, count_ref,
                   loss_ref,                                   # [1, S] SMEM
                   du_ref, di_ref, db_ref,                     # VMEM scratch
-                  *, U, I, D, B, K, C, adaptive, loss_kind, meta_weights):
+                  *, U, I, D, B, K, C, adaptive, loss_kind, meta_weights,
+                  wd_emb, wd_bias):
     f32 = jnp.float32
 
     # Output windows start UNINITIALIZED on Mosaic (input_output_aliases
@@ -293,6 +294,10 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
             (user_emb_ref, mu_u_ref, nu_u_ref, du_ref),
             (item_emb_ref, mu_i_ref, nu_i_ref, di_ref)):
         g = g_ref[:]
+        if wd_emb:
+            # torch-coupled decay: add_decayed_weights BEFORE scale_by_adam
+            # (training/optimizers.py::build_transform)
+            g = g + wd_emb * emb_ref[:]
         mu = ADAM_B1 * mu_ref[:] + (1.0 - ADAM_B1) * g
         nu = ADAM_B2 * nu_ref[:] + (1.0 - ADAM_B2) * g * g
         mu_ref[:] = mu
@@ -300,7 +305,10 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
         emb_ref[:] = emb_ref[:] - lr_e * (mu / bc1) / (jnp.sqrt(nu / bc2)
                                                        + ADAM_EPS)
 
-    item_bias_ref[:] = item_bias_ref[:] - lr_bias_ref[0, 0] * db_ref[:]
+    db = db_ref[:]
+    if wd_bias:
+        db = db + wd_bias * item_bias_ref[:]
+    item_bias_ref[:] = item_bias_ref[:] - lr_bias_ref[0, 0] * db
 
 
 def _explicit_epoch_kernel(users_ref, items_ref, ratings_ref, mask_ref,
@@ -313,7 +321,8 @@ def _explicit_epoch_kernel(users_ref, items_ref, ratings_ref, mask_ref,
                            mu_u_ref, nu_u_ref, mu_i_ref, nu_i_ref, count_ref,
                            loss_ref,                           # [1, S] SMEM
                            du_ref, di_ref, dbu_ref, dbi_ref,   # VMEM scratch
-                           *, U, I, D, B, C, loss_kind, y_range):
+                           *, U, I, D, B, C, loss_kind, y_range,
+                           wd_emb, wd_bias):
     """Explicit-feedback (MSE/MAE) twin of :func:`_epoch_kernel`.
 
     Differences from the ranking kernel: no negatives, the USER bias carries
@@ -420,6 +429,8 @@ def _explicit_epoch_kernel(users_ref, items_ref, ratings_ref, mask_ref,
             (user_emb_ref, mu_u_ref, nu_u_ref, du_ref),
             (item_emb_ref, mu_i_ref, nu_i_ref, di_ref)):
         g = g_ref[:]
+        if wd_emb:
+            g = g + wd_emb * emb_ref[:]
         mu = ADAM_B1 * mu_ref[:] + (1.0 - ADAM_B1) * g
         nu = ADAM_B2 * nu_ref[:] + (1.0 - ADAM_B2) * g * g
         mu_ref[:] = mu
@@ -428,11 +439,16 @@ def _explicit_epoch_kernel(users_ref, items_ref, ratings_ref, mask_ref,
                                                        + ADAM_EPS)
 
     lr_b = lr_bias_ref[0, 0]
-    user_bias_ref[:] = user_bias_ref[:] - lr_b * dbu_ref[:]
-    item_bias_ref[:] = item_bias_ref[:] - lr_b * dbi_ref[:]
+    for bias_ref, gb_ref in ((user_bias_ref, dbu_ref),
+                             (item_bias_ref, dbi_ref)):
+        gb = gb_ref[:]
+        if wd_bias:
+            gb = gb + wd_bias * bias_ref[:]
+        bias_ref[:] = bias_ref[:] - lr_b * gb
 
 
 @functools.partial(jax.jit, static_argnames=('loss_kind', 'y_range',
+                                             'wd_emb', 'wd_bias',
                                              'interpret'))
 def fused_mf_explicit_epoch(user_emb: jnp.ndarray,    # [U, D] f32
                             item_emb: jnp.ndarray,    # [I, D] f32
@@ -448,6 +464,7 @@ def fused_mf_explicit_epoch(user_emb: jnp.ndarray,    # [U, D] f32
                             lr_emb: jnp.ndarray, lr_bias: jnp.ndarray,
                             *, loss_kind: str = 'mse',
                             y_range=None,
+                            wd_emb: float = 0.0, wd_bias: float = 0.0,
                             interpret: bool = False) -> Tuple[jnp.ndarray, ...]:
     """Run one explicit-feedback training epoch; returns ``(user_emb,
     item_emb, user_bias, item_bias, mu_u, nu_u, mu_i, nu_i, count,
@@ -478,7 +495,8 @@ def fused_mf_explicit_epoch(user_emb: jnp.ndarray,    # [U, D] f32
 
     assert loss_kind in ('mse', 'mae'), loss_kind
     kernel = functools.partial(_explicit_epoch_kernel, U=U, I=I, D=D, B=B,
-                               C=C, loss_kind=loss_kind, y_range=y_range)
+                               C=C, loss_kind=loss_kind, y_range=y_range,
+                               wd_emb=wd_emb, wd_bias=wd_bias)
 
     out = pl.pallas_call(
         kernel,
@@ -540,7 +558,8 @@ def fused_mf_explicit_epoch(user_emb: jnp.ndarray,    # [U, D] f32
 
 
 @functools.partial(jax.jit, static_argnames=('K', 'adaptive', 'loss_kind',
-                                             'meta_weights', 'interpret'))
+                                             'meta_weights', 'wd_emb',
+                                             'wd_bias', 'interpret'))
 def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
                    item_emb: jnp.ndarray,      # [I, D] f32
                    item_bias: jnp.ndarray,     # [I] f32
@@ -555,6 +574,7 @@ def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
                    meta_rows: Optional[jnp.ndarray] = None,  # [F, I] int
                    *, K: int, adaptive: bool, loss_kind: str = 'hinge',
                    meta_weights: Tuple[float, ...] = (),
+                   wd_emb: float = 0.0, wd_bias: float = 0.0,
                    interpret: bool = False) -> Tuple[jnp.ndarray, ...]:
     """Run one training epoch; returns ``(user_emb, item_emb, item_bias,
     mu_u, nu_u, mu_i, nu_i, count, losses[S])``.
@@ -597,7 +617,8 @@ def fused_mf_epoch(user_emb: jnp.ndarray,      # [U, D] f32
     assert loss_kind in ('hinge', 'bpr', 'warp'), loss_kind
     kernel = functools.partial(_epoch_kernel, U=U, I=I, D=D, B=B, K=K, C=C,
                                adaptive=adaptive, loss_kind=loss_kind,
-                               meta_weights=meta_weights)
+                               meta_weights=meta_weights,
+                               wd_emb=wd_emb, wd_bias=wd_bias)
 
     out = pl.pallas_call(
         kernel,

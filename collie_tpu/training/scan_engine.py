@@ -70,7 +70,7 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
     inter = loader.interactions
     explicit = isinstance(inter, ExplicitInteractions)
     hp = model.hparams
-    if hp.get('dropout_p', 0.0) or hp.get('weight_decay', 0.0):
+    if hp.get('dropout_p', 0.0):
         return None
     if not explicit and hp.get('y_range') is not None:
         return None
@@ -132,10 +132,16 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
             > _VMEM_BUDGET_BYTES:
         return None
     y_range = hp.get('y_range')
+    # torch-coupled weight decay runs in-kernel; build_transform zeroes it
+    # for 'sparse_adam' (torch.optim.SparseAdam has none) but the sgd bias
+    # group keeps it
+    wd = float(hp.get('weight_decay', 0.0) or 0.0)
+    wd_emb = 0.0 if hp.get('optimizer') == 'sparse_adam' else wd
     return {'adaptive': adaptive, 'loss_kind': loss_kind,
             'explicit': explicit,
             'y_range': tuple(y_range) if y_range is not None else None,
             'meta_names': meta_names,
+            'wd_emb': wd_emb, 'wd_bias': wd,
             'emb_idx': emb_idx, 'bias_idx': bias_idx}
 
 
@@ -354,6 +360,7 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                     batches['users'], batches['items'], batches['ratings'],
                     batches['mask'], lr_e, lr_b,
                     loss_kind=loss_kind, y_range=fused_cfg['y_range'],
+                    wd_emb=fused_cfg['wd_emb'], wd_bias=fused_cfg['wd_bias'],
                     interpret=interpret)
                 new_params = {**params, 'user_embeddings': ue,
                               'item_embeddings': ie, 'user_biases': ub,
@@ -378,9 +385,19 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                     batches['mask'], lr_e, lr_b, meta_rows,
                     K=K, adaptive=adaptive, loss_kind=loss_kind,
                     meta_weights=meta_weights,
+                    wd_emb=fused_cfg['wd_emb'], wd_bias=fused_cfg['wd_bias'],
                     interpret=interpret)
                 new_params = {**params, 'user_embeddings': ue,
                               'item_embeddings': ie, 'item_biases': ib}
+                if fused_cfg['wd_bias']:
+                    # user biases get ZERO data gradient from pairwise
+                    # ranking losses, so their sgd + torch-coupled-decay
+                    # update has the exact closed form b *= (1 - lr*wd) per
+                    # step — applied here instead of carrying user-bias
+                    # state through the kernel
+                    decay = (1.0 - lr_b * fused_cfg['wd_bias']) ** S
+                    new_params['user_biases'] = \
+                        params['user_biases'] * decay
             import optax
             new_adam = optax.ScaleByAdamState(
                 count=cnt,

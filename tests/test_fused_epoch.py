@@ -27,7 +27,8 @@ from collie_tpu.training.scan_engine import (_fused_epoch_config,
 
 def _train_epochs(implicit_train, monkeypatch, fused: bool, *, loss='adaptive',
                   epochs=3, batch_size=1024, dim=8, lr=1e-1, metadata=None,
-                  metadata_weights=None):
+                  metadata_weights=None, weight_decay=0.0,
+                  perturb_user_biases=False):
     monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '1' if fused else '0')
     # like-for-like reference: the kernel mirrors the *dense* adaptive
     # computation, while the scan engine defaults to the sparse-hardest
@@ -40,8 +41,15 @@ def _train_epochs(implicit_train, monkeypatch, fused: bool, *, loss='adaptive',
                                     seed=0)
     model = MatrixFactorizationModel(train=loader, embedding_dim=dim, lr=lr,
                                      loss=loss, seed=0,
+                                     weight_decay=weight_decay,
                                      metadata_for_loss=metadata,
                                      metadata_for_loss_weights=metadata_weights)
+    if perturb_user_biases:
+        # ranking losses give user biases zero data gradient, so only a
+        # nonzero starting value exercises their weight-decay update
+        model.params['user_biases'] = jnp.asarray(
+            np.random.default_rng(9).normal(
+                0, 0.1, model.params['user_biases'].shape).astype(np.float32))
     specs = model.optimizer_specs()
     fn, data, S, n = build_scan_epoch_fns(model, specs, [True] * len(specs),
                                           loader, shuffle=True, training=True)
@@ -95,6 +103,51 @@ def test_fused_epoch_matches_scan_engine(implicit_train, monkeypatch, loss):
         else:
             scale = np.maximum(np.abs(np.asarray(b)).max(), 1e-3)
             np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=0)
+
+
+def test_fused_epoch_weight_decay_matches_scan_engine(implicit_train,
+                                                      monkeypatch):
+    """Torch-coupled weight decay in-kernel: adam embeddings decay via
+    add_decayed_weights-then-adam order, the item bias via sgd, and the
+    user biases (zero data gradient under ranking losses) via the exact
+    closed-form (1-lr*wd)^S — all matching the scan engine's optax chain.
+    Plain BPR: its gradient is dense over all K pairs (no hardest-negative
+    selection), so the decay term cannot flip a near-tie selection and the
+    comparison stays bitwise-meaningful."""
+    kw = dict(loss='bpr', weight_decay=1e-3, epochs=1)
+    p_fused, s_fused, l_fused, S = _train_epochs(implicit_train, monkeypatch,
+                                                 fused=True, **kw)
+    p_scan, s_scan, l_scan, _ = _train_epochs(implicit_train, monkeypatch,
+                                              fused=False, **kw)
+    for k in p_scan:
+        scale = np.maximum(np.abs(p_scan[k]).max(), 1e-3)
+        np.testing.assert_allclose(p_fused[k], p_scan[k],
+                                   atol=5e-4 * scale, rtol=0, err_msg=k)
+    np.testing.assert_allclose(l_fused, l_scan, rtol=1e-4)
+
+
+def test_fused_epoch_user_bias_decay(implicit_train, monkeypatch):
+    """User biases start at zero and get zero data gradient from ranking
+    losses, so only a perturbed start exercises their decay.  The perturbed
+    bias enters the SCAN path's selection scores (constant per row — no
+    effect in real arithmetic, but float tie-flips move other params), so
+    this test compares only the user biases, whose update is pure decay on
+    both engines."""
+    kw = dict(loss='adaptive', weight_decay=1e-3, epochs=1,
+              perturb_user_biases=True)
+    p_fused, _, _, S = _train_epochs(implicit_train, monkeypatch,
+                                     fused=True, **kw)
+    p_scan, _, _, _ = _train_epochs(implicit_train, monkeypatch,
+                                    fused=False, **kw)
+    start = np.random.default_rng(9).normal(
+        0, 0.1, p_fused['user_biases'].shape).astype(np.float32)
+    # the bias group trains at MF's default bias_lr (1e-2), not lr
+    expected = start * (1.0 - 1e-2 * 1e-3) ** S
+    np.testing.assert_allclose(p_fused['user_biases'], expected,
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(p_fused['user_biases'],
+                               p_scan['user_biases'], rtol=1e-5, atol=1e-8)
+    assert np.all(np.abs(p_fused['user_biases']) < np.abs(start))
 
 
 @pytest.mark.parametrize('loss', ['hinge', 'adaptive', 'bpr', 'warp'])
@@ -165,13 +218,14 @@ def test_fused_envelope_metadata_gating(implicit_train, monkeypatch):
 
 def _train_explicit_epochs(explicit_sets, monkeypatch, fused: bool, *,
                            loss='mse', y_range=None, epochs=3,
-                           batch_size=1024, dim=8, lr=1e-2):
+                           batch_size=1024, dim=8, lr=1e-2, weight_decay=0.0):
     monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '1' if fused else '0')
     loader = InteractionsDataLoader(interactions=explicit_sets[0],
                                     batch_size=batch_size, shuffle=True,
                                     seed=0)
     model = MatrixFactorizationModel(train=loader, embedding_dim=dim, lr=lr,
-                                     loss=loss, y_range=y_range, seed=0)
+                                     loss=loss, y_range=y_range, seed=0,
+                                     weight_decay=weight_decay)
     specs = model.optimizer_specs()
     fn, data, S, n = build_scan_epoch_fns(model, specs, [True] * len(specs),
                                           loader, shuffle=True, training=True)
@@ -187,18 +241,22 @@ def _train_explicit_epochs(explicit_sets, monkeypatch, fused: bool, *,
     return (jax.device_get(params), jax.device_get(opt_states), losses, S)
 
 
-@pytest.mark.parametrize('loss,y_range', [('mse', None), ('mae', None),
-                                          ('mse', (1.0, 5.0))])
+@pytest.mark.parametrize('loss,y_range,wd', [('mse', None, 0.0),
+                                             ('mae', None, 0.0),
+                                             ('mse', (1.0, 5.0), 0.0),
+                                             ('mse', None, 1e-3)])
 def test_fused_explicit_epoch_matches_scan_engine(explicit_sets, monkeypatch,
-                                                  loss, y_range):
+                                                  loss, y_range, wd):
     """Explicit (pointwise) twin kernel: params, losses, and optimizer states
     must match the XLA scan engine — including the USER bias, which carries
     gradient under pointwise losses (it cancels under the ranking losses),
     and the y_range sigmoid rescale's chain rule."""
     p_fused, s_fused, l_fused, S = _train_explicit_epochs(
-        explicit_sets, monkeypatch, fused=True, loss=loss, y_range=y_range)
+        explicit_sets, monkeypatch, fused=True, loss=loss, y_range=y_range,
+        weight_decay=wd)
     p_scan, s_scan, l_scan, _ = _train_explicit_epochs(
-        explicit_sets, monkeypatch, fused=False, loss=loss, y_range=y_range)
+        explicit_sets, monkeypatch, fused=False, loss=loss, y_range=y_range,
+        weight_decay=wd)
 
     for k in p_scan:
         scale = np.maximum(np.abs(p_scan[k]).max(), 1e-3)
@@ -270,8 +328,9 @@ def test_fused_envelope_accepts_default_mf(implicit_train, monkeypatch):
 
 def test_fused_envelope_rejects_out_of_scope(implicit_train, monkeypatch):
     """Anything the kernel does not implement must fall back: non-MF models,
-    pointwise losses, dropout, weight decay, y_range, single-optimizer
-    layouts, non-adam embeddings, and mesh training."""
+    dropout, implicit y_range, single-optimizer layouts, non-adam
+    embeddings, and mesh training — while warp and weight decay stay on the
+    fused tier."""
     from collie_tpu.models.mlp_matrix_factorization import \
         MLPMatrixFactorizationModel
 
@@ -286,8 +345,13 @@ def test_fused_envelope_rejects_out_of_scope(implicit_train, monkeypatch):
     warp_cfg = _config_for(warp, loader, monkeypatch)
     assert warp_cfg is not None and warp_cfg['loss_kind'] == 'warp'
 
+    wd = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                  loss='adaptive', weight_decay=1e-4, seed=0)
+    wd_cfg = _config_for(wd, loader, monkeypatch)
+    assert wd_cfg is not None and wd_cfg['wd_emb'] == 1e-4
+
     for kwargs in ({'dropout_p': 0.5},
-                   {'weight_decay': 1e-6}, {'y_range': (0.0, 5.0)},
+                   {'y_range': (0.0, 5.0)},
                    {'optimizer': 'sgd'}, {'bias_optimizer': 'adam'}):
         m = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
                                      seed=0, **kwargs)
