@@ -391,6 +391,28 @@ class BasePipeline:
         sparse-hardest backward in ``calculate_loss``."""
         return all(not self.hparams.get(name) for name in self._DROPOUT_HPARAMS)
 
+    def _loss_semantics_fingerprint(self) -> tuple:
+        """Hashable identity of everything the compiled train/val programs
+        bake in as trace-time constants: weight decay (inside the optimizer
+        transforms), ``y_range`` / ``dropout_p`` (inside ``score``), and the
+        loss-metadata arrays + weights (inside ``calculate_loss``).  Part of
+        the trainer's compiled-program cache keys — mutating any of these
+        between fits must build a new program (CLAUDE.md cache-invalidation
+        invariant).  jnp arrays are immutable, so ``id()`` identifies a
+        metadata array for as long as the model holds it."""
+        hp = self.hparams
+        meta = self.metadata_for_loss or {}
+        weights = self.metadata_for_loss_weights or {}
+        y_range = hp.get('y_range')
+        return (
+            float(hp.get('weight_decay', 0.0) or 0.0),
+            tuple(float(hp.get(n, 0.0) or 0.0) for n in self._DROPOUT_HPARAMS),
+            tuple(y_range) if y_range is not None else None,
+            tuple(sorted(
+                (k, float(weights.get(k, 0.0)), id(meta[k]),
+                 tuple(jnp.shape(meta[k]))) for k in meta)),
+        )
+
     @staticmethod
     def _sparse_selection_enabled() -> bool:
         """Env ``COLLIE_TPU_SPARSE_ADAPTIVE=0`` disables the sparse-backward

@@ -83,7 +83,7 @@ def _lane_pad(n: int) -> int:
 
 
 def fused_vmem_bytes(num_users: int, num_items: int, dim: int,
-                     batch_size: int) -> int:
+                     batch_size: int, meta_fields: int = 0) -> int:
     """Rough VMEM footprint of the kernel (lane-padded f32)."""
     d = _lane_pad(dim)
     # emb + mu + nu, x2: the input windows stay VMEM-resident alongside the
@@ -96,8 +96,47 @@ def fused_vmem_bytes(num_users: int, num_items: int, dim: int,
     # operand — user-heavy shapes must not pass the check and then blow VMEM
     # at Mosaic compile time (there is no fallback past this gate)
     blocks += 3 * c * _lane_pad(num_users) * 4
+    # partial-credit metadata: the epoch-resident [F, I] table plus each
+    # field's where-masked [C, I] temporary inside ideal_for
+    blocks += meta_fields * (8 + 2 * c) * _lane_pad(num_items) * 4
     bias = 2 * 8 * (_lane_pad(num_items) + _lane_pad(num_users)) * 4
     return tables + grads + blocks + bias
+
+
+def _copy_state_windows(pairs, cnt_in, count_ref):
+    """Initialize the persistent output windows from the input windows at
+    grid step 0 (Mosaic does not pre-fill aliased output windows)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init_state():
+        for dst, src in pairs:
+            dst[:] = src[:]
+        count_ref[0, 0] = cnt_in[0, 0]
+
+
+def _adam_update_tables(table_refs, bc1, bc2, lr_e, wd_emb):
+    """Optax-exact ``scale_by_adam`` (shared count, bias correction, ``eps``
+    outside the sqrt) with torch-coupled decay added BEFORE the moments —
+    replicating ``training/optimizers.py::build_transform``'s chain.  The
+    ONE copy of the optimizer numerics both fused kernels trace."""
+    for emb_ref, mu_ref, nu_ref, g_ref in table_refs:
+        g = g_ref[:]
+        if wd_emb:
+            g = g + wd_emb * emb_ref[:]
+        mu = ADAM_B1 * mu_ref[:] + (1.0 - ADAM_B1) * g
+        nu = ADAM_B2 * nu_ref[:] + (1.0 - ADAM_B2) * g * g
+        mu_ref[:] = mu
+        nu_ref[:] = nu
+        emb_ref[:] = emb_ref[:] - lr_e * (mu / bc1) / (jnp.sqrt(nu / bc2)
+                                                       + ADAM_EPS)
+
+
+def _sgd_update_biases(bias_refs, lr_b, wd_bias):
+    """Plain sgd with torch-coupled decay for the bias rows."""
+    for bias_ref, gb_ref in bias_refs:
+        gb = gb_ref[:]
+        if wd_bias:
+            gb = gb + wd_bias * bias_ref[:]
+        bias_ref[:] = bias_ref[:] - lr_b * gb
 
 
 def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
@@ -118,16 +157,10 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
     # aliases the HBM buffers, not the VMEM windows) — copy the initial state
     # in at the first grid step; the windows persist across steps (constant
     # index maps) and write back to HBM once, after the last step.
-    @pl.when(pl.program_id(0) == 0)
-    def _init_state():
-        user_emb_ref[:] = ue_in[:]
-        item_emb_ref[:] = ie_in[:]
-        item_bias_ref[:] = ib_in[:]
-        mu_u_ref[:] = muu_in[:]
-        nu_u_ref[:] = nuu_in[:]
-        mu_i_ref[:] = mui_in[:]
-        nu_i_ref[:] = nui_in[:]
-        count_ref[0, 0] = cnt_in[0, 0]
+    _copy_state_windows(
+        ((user_emb_ref, ue_in), (item_emb_ref, ie_in),
+         (item_bias_ref, ib_in), (mu_u_ref, muu_in), (nu_u_ref, nuu_in),
+         (mu_i_ref, mui_in), (nu_i_ref, nui_in)), cnt_in, count_ref)
 
     du_ref[:] = jnp.zeros((U, D), f32)
     di_ref[:] = jnp.zeros((I, D), f32)
@@ -286,29 +319,13 @@ def _epoch_kernel(users_ref, pos_ref, negs_ref, mask_ref,     # per-step blocks
     count_ref[0, 0] = count_ref[0, 0] + 1
     # Adam bias corrections 1-beta^t are precomputed host-side per grid step
     # (Mosaic has no scalar powf lowering) and read from SMEM
-    bc1 = bc1_ref[0, pl.program_id(0)]
-    bc2 = bc2_ref[0, pl.program_id(0)]
-    lr_e = lr_emb_ref[0, 0]
-
-    for emb_ref, mu_ref, nu_ref, g_ref in (
-            (user_emb_ref, mu_u_ref, nu_u_ref, du_ref),
-            (item_emb_ref, mu_i_ref, nu_i_ref, di_ref)):
-        g = g_ref[:]
-        if wd_emb:
-            # torch-coupled decay: add_decayed_weights BEFORE scale_by_adam
-            # (training/optimizers.py::build_transform)
-            g = g + wd_emb * emb_ref[:]
-        mu = ADAM_B1 * mu_ref[:] + (1.0 - ADAM_B1) * g
-        nu = ADAM_B2 * nu_ref[:] + (1.0 - ADAM_B2) * g * g
-        mu_ref[:] = mu
-        nu_ref[:] = nu
-        emb_ref[:] = emb_ref[:] - lr_e * (mu / bc1) / (jnp.sqrt(nu / bc2)
-                                                       + ADAM_EPS)
-
-    db = db_ref[:]
-    if wd_bias:
-        db = db + wd_bias * item_bias_ref[:]
-    item_bias_ref[:] = item_bias_ref[:] - lr_bias_ref[0, 0] * db
+    _adam_update_tables(((user_emb_ref, mu_u_ref, nu_u_ref, du_ref),
+                         (item_emb_ref, mu_i_ref, nu_i_ref, di_ref)),
+                        bc1_ref[0, pl.program_id(0)],
+                        bc2_ref[0, pl.program_id(0)],
+                        lr_emb_ref[0, 0], wd_emb)
+    _sgd_update_biases(((item_bias_ref, db_ref),),
+                       lr_bias_ref[0, 0], wd_bias)
 
 
 def _explicit_epoch_kernel(users_ref, items_ref, ratings_ref, mask_ref,
@@ -333,17 +350,11 @@ def _explicit_epoch_kernel(users_ref, items_ref, ratings_ref, mask_ref,
     ranking losses' composite ``(Σl+Σl²)/B``."""
     f32 = jnp.float32
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init_state():
-        user_emb_ref[:] = ue_in[:]
-        item_emb_ref[:] = ie_in[:]
-        user_bias_ref[:] = ub_in[:]
-        item_bias_ref[:] = ib_in[:]
-        mu_u_ref[:] = muu_in[:]
-        nu_u_ref[:] = nuu_in[:]
-        mu_i_ref[:] = mui_in[:]
-        nu_i_ref[:] = nui_in[:]
-        count_ref[0, 0] = cnt_in[0, 0]
+    _copy_state_windows(
+        ((user_emb_ref, ue_in), (item_emb_ref, ie_in),
+         (user_bias_ref, ub_in), (item_bias_ref, ib_in),
+         (mu_u_ref, muu_in), (nu_u_ref, nuu_in),
+         (mu_i_ref, mui_in), (nu_i_ref, nui_in)), cnt_in, count_ref)
 
     du_ref[:] = jnp.zeros((U, D), f32)
     di_ref[:] = jnp.zeros((I, D), f32)
@@ -421,30 +432,13 @@ def _explicit_epoch_kernel(users_ref, items_ref, ratings_ref, mask_ref,
 
     # ---- optax-exact optimizer update, on chip -------------------------
     count_ref[0, 0] = count_ref[0, 0] + 1
-    bc1 = bc1_ref[0, pl.program_id(0)]
-    bc2 = bc2_ref[0, pl.program_id(0)]
-    lr_e = lr_emb_ref[0, 0]
-
-    for emb_ref, mu_ref, nu_ref, g_ref in (
-            (user_emb_ref, mu_u_ref, nu_u_ref, du_ref),
-            (item_emb_ref, mu_i_ref, nu_i_ref, di_ref)):
-        g = g_ref[:]
-        if wd_emb:
-            g = g + wd_emb * emb_ref[:]
-        mu = ADAM_B1 * mu_ref[:] + (1.0 - ADAM_B1) * g
-        nu = ADAM_B2 * nu_ref[:] + (1.0 - ADAM_B2) * g * g
-        mu_ref[:] = mu
-        nu_ref[:] = nu
-        emb_ref[:] = emb_ref[:] - lr_e * (mu / bc1) / (jnp.sqrt(nu / bc2)
-                                                       + ADAM_EPS)
-
-    lr_b = lr_bias_ref[0, 0]
-    for bias_ref, gb_ref in ((user_bias_ref, dbu_ref),
-                             (item_bias_ref, dbi_ref)):
-        gb = gb_ref[:]
-        if wd_bias:
-            gb = gb + wd_bias * bias_ref[:]
-        bias_ref[:] = bias_ref[:] - lr_b * gb
+    _adam_update_tables(((user_emb_ref, mu_u_ref, nu_u_ref, du_ref),
+                         (item_emb_ref, mu_i_ref, nu_i_ref, di_ref)),
+                        bc1_ref[0, pl.program_id(0)],
+                        bc2_ref[0, pl.program_id(0)],
+                        lr_emb_ref[0, 0], wd_emb)
+    _sgd_update_biases(((user_bias_ref, dbu_ref), (item_bias_ref, dbi_ref)),
+                       lr_bias_ref[0, 0], wd_bias)
 
 
 @functools.partial(jax.jit, static_argnames=('loss_kind', 'y_range',

@@ -33,6 +33,16 @@ from collie_tpu.ops.device_sampling import pairs_in_csr
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
+def _require_seen(filter_seen: bool, seen) -> None:
+    """Host-side validation shared by every retrieval tier: a missing seen
+    CSR must raise clearly at call time, not as an unpack error inside jit
+    tracing."""
+    if filter_seen and seen is None:
+        raise ValueError(
+            'filter_seen=True requires seen=(indptr, cols) CSR '
+            'arrays of the interactions to exclude')
+
+
 def _merge_topk(top_scores, top_ids, tile_scores, tile_ids, k: int):
     """Merge running per-user top-k with a new scored tile."""
     scores = jnp.concatenate([top_scores, tile_scores], axis=1)
@@ -94,10 +104,7 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
             return top_ids, top_scores
 
         def retrieve(params, user_ids, seen=None):
-            if filter_seen and seen is None:
-                raise ValueError(
-                    'filter_seen=True requires seen=(indptr, cols) CSR '
-                    'arrays of the interactions to exclude')
+            _require_seen(filter_seen, seen)
             return _retrieve_jit(params, user_ids, seen)
 
         return retrieve
@@ -179,10 +186,7 @@ def _build_sharded_retrieval(model, k, item_tile, filter_seen, mesh, _local_topk
         return top_scores, top_ids
 
     def retrieve(params, user_ids, seen=None):
-        if filter_seen and seen is None:
-            raise ValueError(
-                'filter_seen=True requires seen=(indptr, cols) CSR '
-                'arrays of the interactions to exclude')
+        _require_seen(filter_seen, seen)
 
         def shard_body(params, user_ids, seen):
             shard_idx = jax.lax.axis_index(MODEL_AXIS)

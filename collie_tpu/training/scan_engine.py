@@ -128,7 +128,8 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
     from collie_tpu.ops.pallas.fused_mf_epoch import (_VMEM_BUDGET_BYTES,
                                                       fused_vmem_bytes)
     if fused_vmem_bytes(hp['num_users'], hp['num_items'],
-                        hp['embedding_dim'], loader.batch_size) \
+                        hp['embedding_dim'], loader.batch_size,
+                        meta_fields=len(meta_names)) \
             > _VMEM_BUDGET_BYTES:
         return None
     y_range = hp.get('y_range')

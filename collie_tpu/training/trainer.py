@@ -169,10 +169,21 @@ class CollieTrainer:
         # fits silently reuses the previous path (the round-1 stage-staleness
         # bug class, see ADVICE.md)
         import os
+        sampler_flags = (
+            os.environ.get('COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB'),
+            os.environ.get('COLLIE_TPU_SAMPLER', 'auto'))
         path_flags = (model._sparse_selection_enabled(),
                       os.environ.get('COLLIE_TPU_FUSED_EPOCH', 'auto'),
-                      os.environ.get('COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB'),
-                      os.environ.get('COLLIE_TPU_SAMPLER', 'auto'))
+                      *sampler_flags)
+        # the fused-epoch gate never affects a training=False program, so
+        # val keys use the val-relevant subset (a FUSED_EPOCH toggle must
+        # not force a 30-90 s recompile of a bit-identical val program)
+        val_flags = (model._sparse_selection_enabled(), *sampler_flags)
+        # loss semantics baked into traced programs as constants (weight
+        # decay in optimizer transforms, y_range/dropout in score(), the
+        # metadata arrays in calculate_loss) — mutating any of them between
+        # fits must build a new program, not reuse the stale one
+        loss_fp = model._loss_semantics_fingerprint()
         def _loader_slot(key, loader, build):
             """Per-loader program slots under one cache key.  The dict keys
             hold STRONG references to the loader objects (loaders use default
@@ -191,7 +202,7 @@ class CollieTrainer:
         if use_scan_train:
             self._device_put_loss_metadata(model)
             key = ('train', stage, mesh_key, self.exact_sampling_dedup_rounds,
-                   path_flags)
+                   path_flags, loss_fp)
             train_epoch_fn, train_epoch_data, _, scan_examples = _loader_slot(
                 key, model.train_loader, lambda: build_scan_epoch_fns(
                     model, specs, active, model.train_loader,
@@ -202,13 +213,13 @@ class CollieTrainer:
             self._device_put_loss_metadata(model)
             # path_flags matters for implicit val too: the val epoch samples
             # negatives through the same env-gated sampler selection
-            key = ('val', stage, mesh_key, path_flags)
+            key = ('val', stage, mesh_key, val_flags, loss_fp)
             val_epoch_fn, val_epoch_data, _, _ = _loader_slot(
                 key, model.val_loader, lambda: build_scan_epoch_fns(
                     model, specs, active, model.val_loader, shuffle=False,
                     mesh=self.mesh, training=False))
         if not use_scan_train or (model.val_loader is not None and not use_scan_val):
-            key = ('steps', stage, mesh_key, path_flags)
+            key = ('steps', stage, mesh_key, path_flags, loss_fp)
             if key not in cache:
                 cache[key] = self._build_steps(model, specs, active)
             train_step, val_step, train_chunk = cache[key]
@@ -220,7 +231,10 @@ class CollieTrainer:
             shard_batch = shard_batch_fn(self.mesh)
         # optimizer state resets each fit (reference semantics); the compiled
         # init is cached so repeat fits only re-run it, not re-compile it
-        key = ('init', stage, mesh_key)
+        # loss_fp: weight decay changes the optax chain STRUCTURE
+        # (add_decayed_weights link), so stale init fns would produce
+        # mismatched state trees
+        key = ('init', stage, mesh_key, loss_fp)
         if key not in cache:
             cache[key] = [jax.jit(spec.transform.init) for spec in specs]
         opt_states = tuple(

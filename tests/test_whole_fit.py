@@ -269,3 +269,49 @@ def test_val_program_rebuilds_when_sampler_env_changes(implicit_sets,
     val_keys_after = {k for k in model._compiled_fn_cache if k[0] == 'val'}
     assert val_keys_after > val_keys, \
         'changing COLLIE_TPU_SAMPLER must build a new val program slot'
+
+
+def test_programs_rebuild_when_loss_semantics_change(implicit_train,
+                                                     monkeypatch):
+    """weight decay / y_range / metadata are baked into compiled programs as
+    trace-time constants, so mutating them between fits must key new
+    programs (CLAUDE.md cache-invalidation invariant)."""
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=1024, shuffle=True, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0)
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=0).fit(model)
+    train_keys = {k for k in model._compiled_fn_cache if k[0] == 'train'}
+    assert train_keys
+
+    model.hparams['weight_decay'] = 1e-3
+    model.hparams['num_epochs_completed'] = 0
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=0).fit(model)
+    train_keys_after = {k for k in model._compiled_fn_cache
+                        if k[0] == 'train'}
+    assert train_keys_after > train_keys, \
+        'mutating weight_decay must build a new train program slot'
+
+
+def test_fused_epoch_toggle_does_not_rebuild_val_program(implicit_sets,
+                                                         monkeypatch):
+    """COLLIE_TPU_FUSED_EPOCH never affects a training=False program, so
+    toggling it must reuse the cached val program (a rebuild is a 30-90 s
+    remote compile on the real chip for a bit-identical program)."""
+    train, test = implicit_sets
+    monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '0')
+    val_loader = InteractionsDataLoader(interactions=test, batch_size=1024,
+                                        shuffle=False, seed=0)
+    model = MatrixFactorizationModel(train=train, val=val_loader,
+                                     embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0)
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=0).fit(model)
+    val_keys = {k for k in model._compiled_fn_cache if k[0] == 'val'}
+    assert len(val_keys) == 1
+
+    monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '1')
+    model.hparams['num_epochs_completed'] = 0
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=0).fit(model)
+    val_keys_after = {k for k in model._compiled_fn_cache if k[0] == 'val'}
+    assert val_keys_after == val_keys, \
+        'toggling the fused gate must not rebuild the val program'
