@@ -375,3 +375,45 @@ def test_hparams_attribute_access(trained_mf_model):
     assert trained_mf_model.hparams['custom_field'] == 7
     with pytest.raises(AttributeError):
         _ = trained_mf_model.hparams.does_not_exist
+
+
+def test_similarity_and_preds_bad_ids_raise(trained_mf_model):
+    """Out-of-range IDs raise the reference's explicit range errors
+    (reference tests test_get_item_preds_err / test_get_user_preds_err /
+    test_item_item_similarity_err / test_user_user_similarity_err)."""
+    n_items = trained_mf_model.hparams['num_items']
+    n_users = trained_mf_model.hparams['num_users']
+    with pytest.raises(ValueError, match='not in the model'):
+        trained_mf_model.item_item_similarity(item_id=n_items)
+    with pytest.raises(ValueError, match='not in the model'):
+        trained_mf_model.user_user_similarity(user_id=n_users)
+    with pytest.raises(ValueError, match='not in the model'):
+        trained_mf_model.get_user_predictions(item_id=n_items)
+
+
+def test_sparse_with_weight_decay_warns_and_zeroes(implicit_train):
+    """Reference ``base_pipeline.py`` zeroes weight decay for sparse
+    embeddings with a warning (test_instantiation_of_sparse_model_with_
+    weight_decay); the TPU mapping keeps the same API contract."""
+    with pytest.warns(UserWarning, match='weight_decay'):
+        model = MatrixFactorizationModel(train=implicit_train, sparse=True,
+                                         weight_decay=1e-4,
+                                         embedding_dim=4, seed=0)
+    assert model.hparams['weight_decay'] == 0.0
+
+
+def test_bad_final_layer_raises():
+    """Invalid ``final_layer`` strings raise at forward time (reference
+    test_bad_final_layer_of_neucf / test_bad_final_layer_of_deep_fm)."""
+    from collie_tpu.models.deep_fm import DeepFM
+    from collie_tpu.models.neural_collaborative_filtering import \
+        NeuralCollaborativeFiltering
+
+    u = np.repeat(np.arange(30), 5)
+    i = np.tile(np.arange(30), 5)
+    inter = Interactions(users=u, items=i, num_negative_samples=2,
+                         allow_missing_ids=True)
+    for cls in (NeuralCollaborativeFiltering, DeepFM):
+        model = cls(train=inter, final_layer='bogus', seed=0)
+        with pytest.raises(ValueError, match='not valid final layer'):
+            model.score(model.params, np.array([0]), np.array([0]))

@@ -152,6 +152,24 @@ def test_hybrid_model_item_metadata_only(implicit_sets, item_metadata):
     assert np.isfinite(scores).all()
 
 
+def test_hybrid_model_user_metadata_only(implicit_sets, user_metadata):
+    """User-side metadata tower without item metadata (reference
+    test_hybrid_model_stages_progression_user_metadata_only) — trains
+    through every stage and scores finitely."""
+    from collie_tpu.training.trainer import CollieTrainer
+
+    train, _ = implicit_sets
+    model = HybridModel(train=train, user_metadata=user_metadata,
+                        combined_layers_dims=[8], seed=0)
+    trainer = CollieTrainer(model, max_epochs=1, verbosity=0, seed=0)
+    for stage in model.hparams['stage_list']:
+        model.set_stage(stage)
+        trainer.fit(model)
+        trainer.max_epochs += 1
+    scores = model(np.arange(5), np.arange(5))
+    assert np.isfinite(scores).all()
+
+
 def test_hybrid_model_requires_metadata(implicit_sets):
     with pytest.raises(ValueError, match='Must provide item metadata'):
         HybridModel(train=implicit_sets[0])
