@@ -133,18 +133,28 @@ def trunc_normal(shape: Tuple[int, ...],
     return (np.fmod(rng.standard_normal(shape), 2) * std + mean).astype(np.float32)
 
 
-def get_init_arguments() -> Dict[str, Any]:
+def get_init_arguments(exclude: Optional[Iterable[str]] = (),
+                       verbose: bool = False) -> Dict[str, Any]:
     """Capture the calling ``__init__``'s arguments as a flat kwargs dict.
 
     Frame-inspection equivalent of the reference's
     ``get_init_arguments`` (``utils.py:209-246``), used by every model to
     freeze its hyperparameters for save / load.
+
+    ``exclude``: argument names to drop from the captured dict; names not
+    present are ignored (printed when ``verbose``), matching the reference.
     """
     frame = inspect.currentframe().f_back
     args, varargs, varkw, values = inspect.getargvalues(frame)
     captured = {name: values[name] for name in args if name != 'self'}
     if varkw is not None:
         captured.update(values[varkw] or {})
+    for exclude_arg in (exclude or ()):
+        if exclude_arg in captured:
+            del captured[exclude_arg]
+        elif verbose:
+            print(f'Key {exclude_arg} not found in ``init_args`` '
+                  'and will be ignored.')
     return captured
 
 

@@ -96,3 +96,21 @@ def test_invalid_proportions_raise(interactions):
         random_split(interactions, val_p=0.5, test_p=0.6)
     with pytest.raises(ValueError):
         stratified_split(interactions, test_p=0.0)
+
+
+def test_hdf5_interactions_cannot_be_split(tmp_path):
+    """Out-of-core datasets refuse in-memory splits, matching the
+    reference's assertion (reference tests test_bad_random_split_
+    HDF5Interactions / test_bad_stratified_split_HDF5Interactions)."""
+    from collie_tpu.data import HDF5Interactions
+    from collie_tpu.data.synthetic import generate_interactions_df
+    from collie_tpu.utils import pandas_df_to_hdf5
+
+    df = generate_interactions_df(seed=3)
+    path = str(tmp_path / 'inter.h5')
+    pandas_df_to_hdf5(df, path)
+    h5 = HDF5Interactions(hdf5_path=path, num_users=943, num_items=1682)
+    with pytest.raises(AssertionError, match='not supported'):
+        random_split(h5)
+    with pytest.raises(AssertionError, match='not supported'):
+        stratified_split(h5)

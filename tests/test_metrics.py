@@ -259,3 +259,27 @@ def test_explicit_stateful_metric_protocol(rng):
         ['mse', streaming], inter, model, verbose=False)
     assert mse_streaming == pytest.approx(mse_builtin, rel=1e-6)
     assert streaming.resets == 1  # reset always called, as in the reference
+
+
+def test_evaluators_validate_interaction_types(implicit_interactions):
+    """Implicit evaluator rejects explicit data and vice versa (reference
+    tests test_bad_evaluate_in_batches_with_explicit_data /
+    test_bad_explicit_evaluate_in_batches_with_implicit_data)."""
+    from collie_tpu.data import ExplicitInteractions
+    from collie_tpu.evaluate import (evaluate_in_batches,
+                                     explicit_evaluate_in_batches)
+    from collie_tpu.metrics import mapk
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+
+    model = MatrixFactorizationModel(train=implicit_interactions,
+                                     embedding_dim=4, seed=0)
+    mat = implicit_interactions.mat
+    explicit = ExplicitInteractions(users=mat.row, items=mat.col,
+                                    ratings=np.maximum(mat.data, 1),
+                                    allow_missing_ids=True)
+    with pytest.raises(ValueError, match='must be of type ``Interactions``'):
+        evaluate_in_batches([mapk], explicit, model, verbose=False)
+    with pytest.raises(ValueError,
+                       match='must be of type ``ExplicitInteractions``'):
+        explicit_evaluate_in_batches(['mse'], implicit_interactions, model,
+                                     verbose=False)

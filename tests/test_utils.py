@@ -225,3 +225,16 @@ def test_trace_context_produces_artifacts(tmp_path):
     # jax writes a plugins/profile/<ts>/ tree under the logdir
     produced = list(tmp_path.rglob('*'))
     assert produced, 'trace produced no artifacts'
+
+
+def test_get_init_arguments_exclude():
+    """Reference API: ``exclude`` drops captured args; missing names are
+    ignored (reference tests test_get_init_arguments_exclude*)."""
+    from collie_tpu.utils import get_init_arguments
+
+    class Foo:
+        def __init__(self, a, b=2, c=3, **kwargs):
+            self.init_args = get_init_arguments(exclude=['b', 'nonexistent'])
+
+    f = Foo(1, b=5, c=7, extra='x')
+    assert f.init_args == {'a': 1, 'c': 7, 'extra': 'x'}
