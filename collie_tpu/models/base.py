@@ -399,10 +399,16 @@ class BasePipeline:
         the trainer's compiled-program cache keys — mutating any of these
         between fits must build a new program (CLAUDE.md cache-invalidation
         invariant).  jnp arrays are immutable, so ``id()`` identifies a
-        metadata array for as long as the model holds it."""
+        metadata array — and every fingerprinted array is pinned in
+        ``_loss_fp_refs`` so a gc'd array's ``id()`` can never be recycled
+        onto a different metadata array (which would silently match a stale
+        compiled program with the old metadata baked in)."""
         hp = self.hparams
         meta = self.metadata_for_loss or {}
         weights = self.metadata_for_loss_weights or {}
+        refs = self.__dict__.setdefault('_loss_fp_refs', {})
+        for k in meta:
+            refs[id(meta[k])] = meta[k]
         y_range = hp.get('y_range')
         return (
             float(hp.get('weight_decay', 0.0) or 0.0),

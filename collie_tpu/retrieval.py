@@ -43,6 +43,17 @@ def _require_seen(filter_seen: bool, seen) -> None:
             'arrays of the interactions to exclude')
 
 
+def _seen_mask(seen, user_ids, item_ids, num_items: int):
+    """``[B, T]`` mask of (user, item) pairs present in the seen CSR; item
+    ids past the catalog (tile padding) are clamped — they score ``NEG_INF``
+    anyway, so their membership result is irrelevant.  Shared by the
+    single-device and sharded tiers so the filtering semantics cannot
+    diverge."""
+    indptr, cols = seen
+    return pairs_in_csr(indptr, cols, user_ids[:, None],
+                        jnp.minimum(item_ids, num_items - 1)[None, :])
+
+
 def _merge_topk(top_scores, top_ids, tile_scores, tile_ids, k: int):
     """Merge running per-user top-k with a new scored tile."""
     scores = jnp.concatenate([top_scores, tile_scores], axis=1)
@@ -63,11 +74,6 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
     """
     num_items = model.hparams['num_items']
 
-    def _seen_mask(seen, user_ids, item_ids):
-        indptr, cols = seen
-        return pairs_in_csr(indptr, cols, user_ids[:, None],
-                            jnp.minimum(item_ids, num_items - 1)[None, :])
-
     def _local_topk(params, user_ids, seen, start, stop, n_tiles: int):
         """Blockwise top-k over the item range [start, stop)."""
         B = user_ids.shape[0]
@@ -81,7 +87,8 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
                 params, user_ids, jnp.minimum(item_ids, num_items - 1))
             valid = (item_ids < stop) & (item_ids < num_items)
             if filter_seen:
-                valid = valid[None, :] & ~_seen_mask(seen, user_ids, item_ids)
+                valid = valid[None, :] & ~_seen_mask(seen, user_ids, item_ids,
+                                                     num_items)
             scores = jnp.where(valid, scores, NEG_INF)
             ids = jnp.broadcast_to(item_ids[None, :], (B, item_tile))
             return _merge_topk(top_scores, top_ids, scores, ids, k), None
@@ -150,11 +157,6 @@ def _build_sharded_retrieval(model, k, item_tile, filter_seen, mesh, _local_topk
         for name in param_names
     }
 
-    def _seen_mask(seen, user_ids, item_ids):
-        indptr, cols = seen
-        return pairs_in_csr(indptr, cols, user_ids[:, None],
-                            jnp.minimum(item_ids, num_items - 1)[None, :])
-
     def _local_topk_from_shard(params, user_ids, seen, start):
         """Blockwise top-k scoring straight off the local table shard."""
         user_emb = params['user_embeddings'][user_ids]
@@ -176,7 +178,8 @@ def _build_sharded_retrieval(model, k, item_tile, filter_seen, mesh, _local_topk
             global_ids = start + local_ids
             valid = local_ids < shard_span
             if filter_seen:
-                valid = valid[None, :] & ~_seen_mask(seen, user_ids, global_ids)
+                valid = valid[None, :] & ~_seen_mask(seen, user_ids, global_ids,
+                                                     num_items)
             scores = jnp.where(valid, scores, NEG_INF)
             ids = jnp.broadcast_to(global_ids[None, :], (B, item_tile))
             return _merge_topk(top_scores, top_ids, scores, ids, k), None

@@ -561,7 +561,11 @@ def build_scan_fit_fn(train_epoch_fn, val_epoch_fn, *, monitor_val: bool,
             best_es = jnp.where(bad, best_es, new_best)
             n_no = jnp.where(bad, n_no, new_n_no)
             if es_patience is not None:
-                stopped = stopped | ((~bad) & (n_no >= es_patience))
+                # host-path parity: the per-epoch loop checks patience only on
+                # NON-improving epochs (``trainer.py`` ``else`` branch), so
+                # ``early_stopping_patience=0`` never stops an improving run
+                stopped = stopped | ((~bad) & (~improved)
+                                     & (n_no >= es_patience))
             nan_seen = nan_seen | bad
             stopped = stopped | bad
 

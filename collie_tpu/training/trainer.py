@@ -182,7 +182,13 @@ class CollieTrainer:
         # loss semantics baked into traced programs as constants (weight
         # decay in optimizer transforms, y_range/dropout in score(), the
         # metadata arrays in calculate_loss) — mutating any of them between
-        # fits must build a new program, not reuse the stale one
+        # fits must build a new program, not reuse the stale one.  Metadata
+        # goes on device FIRST: the fingerprint is id()-based and
+        # jnp.asarray is identity on device arrays, so fingerprinting the
+        # final jnp objects keeps the key stable across fits (fingerprinting
+        # the pre-transfer np arrays would guarantee a spurious recompile on
+        # the second fit)
+        self._device_put_loss_metadata(model)
         loss_fp = model._loss_semantics_fingerprint()
         def _loader_slot(key, loader, build):
             """Per-loader program slots under one cache key.  The dict keys
@@ -305,7 +311,7 @@ class CollieTrainer:
         self.last_fit_examples_per_sec = total_examples / fit_secs if fit_secs > 0 else None
 
     def _whole_fit_eligible(self, use_scan_train, use_scan_val, monitor_val,
-                            schedulers) -> bool:
+                            schedulers, opt_states) -> bool:
         """Whole-fit single-dispatch eligibility: scan-mode loaders, no
         per-epoch checkpointing, and device-expressible schedulers.  The
         per-epoch host sync (loss fetch + scheduler/early-stop decisions) is
@@ -322,7 +328,21 @@ class CollieTrainer:
             return False
         if self.checkpoint_dir is not None:
             return False
-        return all(scheduler_device_config(s) is not None for s in schedulers)
+        cfgs = [scheduler_device_config(s) for s in schedulers]
+        if any(c is None for c in cfgs):
+            return False
+        # on-device scheduler stepping rewrites the injected learning-rate
+        # leaf every epoch; a custom optax factory without inject_hyperparams
+        # has no such leaf — the host loop handles it (and only fails if a
+        # plateau reduction actually fires), so fall back rather than crash
+        # at trace time
+        for cfg, state in zip(cfgs, opt_states):
+            if cfg[0] == 'none':
+                continue
+            hp = getattr(state, 'hyperparams', None)
+            if hp is None or 'learning_rate' not in hp:
+                return False
+        return True
 
     def _run_fit_scan(self, *, model, specs, schedulers, monitor_val,
                       start_epoch, train_epoch_fn, val_epoch_fn,
@@ -486,7 +506,7 @@ class CollieTrainer:
                     train_step, val_step, train_chunk=None, shard_batch,
                     base_rng, state_box, scan_examples):
         if self._whole_fit_eligible(use_scan_train, use_scan_val, monitor_val,
-                                    schedulers):
+                                    schedulers, state_box['opt_states']):
             self._run_fit_scan(
                 model=model, specs=specs, schedulers=schedulers,
                 monitor_val=monitor_val, start_epoch=start_epoch,

@@ -315,3 +315,101 @@ def test_fused_epoch_toggle_does_not_rebuild_val_program(implicit_sets,
     val_keys_after = {k for k in model._compiled_fn_cache if k[0] == 'val'}
     assert val_keys_after == val_keys, \
         'toggling the fused gate must not rebuild the val program'
+
+
+def test_whole_fit_patience_zero_improving_run_completes(implicit_train,
+                                                         monkeypatch):
+    """early_stopping_patience=0 must stop on the first NON-improving epoch
+    only — the host loop checks patience inside its else branch, so an
+    improving run trains to max_epochs.  The on-device check once tripped
+    unconditionally (n_no >= 0 holds after an improving epoch too) and
+    silently truncated the fit to one epoch."""
+    p1, t1, m1 = _fit(implicit_train, monkeypatch, True, epochs=4,
+                      patience=0, scheduler=None)
+    p0, t0, m0 = _fit(implicit_train, monkeypatch, False, epochs=4,
+                      patience=0, scheduler=None)
+    assert m1.hparams['num_epochs_completed'] == \
+        m0.hparams['num_epochs_completed']
+    assert m1.hparams['num_epochs_completed'] >= 2
+    for k in p0:
+        np.testing.assert_allclose(p1[k], p0[k], rtol=0, atol=1e-6)
+
+
+def test_whole_fit_falls_back_for_custom_optimizer_factory(implicit_train,
+                                                           monkeypatch):
+    """A custom optax factory (no injected lr hyperparam) plus the default
+    plateau scheduler must fall back to the per-epoch host loop instead of
+    crashing at trace time inside build_scan_fit_fn — the host loop only
+    needs the injected lr when a plateau reduction actually fires."""
+    import optax
+
+    monkeypatch.setenv('COLLIE_TPU_WHOLE_FIT', '1')
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=1024, shuffle=True, seed=0)
+    model = MatrixFactorizationModel(
+        train=loader, embedding_dim=8, lr=1e-1, loss='adaptive', seed=0,
+        optimizer=lambda learning_rate, **kw: optax.sgd(learning_rate),
+        bias_optimizer=None)
+    trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=0)
+    trainer.fit(model)
+    assert model.hparams['num_epochs_completed'] == 2
+    assert not any(k[0] == 'fit_scan' for k in model._compiled_fn_cache)
+
+
+def test_metadata_fingerprint_stable_across_fits(implicit_train, monkeypatch):
+    """The loss-semantics fingerprint must be computed from the on-device
+    metadata arrays: fingerprinting the pre-transfer np arrays gave fit 1 and
+    fit 2 different ids and guaranteed a spurious 30-90 s recompile for any
+    model with metadata_for_loss."""
+    monkeypatch.setenv('COLLIE_TPU_WHOLE_FIT', '1')
+    rng = np.random.default_rng(0)
+    genres = rng.integers(0, 4, size=implicit_train.num_items)
+    meta = {'genre': np.eye(4, dtype=np.float32)[genres].T}
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=1024, shuffle=True, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0,
+                                     metadata_for_loss=meta,
+                                     metadata_for_loss_weights={'genre': 0.25})
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=0).fit(model)
+    keys_after_first = set(model._compiled_fn_cache)
+    fp_first = model._loss_semantics_fingerprint()
+
+    model.hparams['num_epochs_completed'] = 0
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=0).fit(model)
+    assert model._loss_semantics_fingerprint() == fp_first
+    assert set(model._compiled_fn_cache) == keys_after_first, \
+        'second identical fit must reuse the cached programs'
+
+
+def test_metadata_fingerprint_pins_arrays_against_id_recycling():
+    """Every fingerprinted metadata array is pinned in _loss_fp_refs so a
+    gc'd array's id() can never be recycled onto replacement metadata (which
+    would silently reuse the compiled program with the OLD metadata baked in
+    as constants)."""
+    import gc
+
+    from collie_tpu.data import InteractionsDataLoader
+    from collie_tpu.data.synthetic import generate_interactions_df
+    from collie_tpu.utils import df_to_interactions
+
+    df = generate_interactions_df(seed=0)
+    inter = df_to_interactions(df, user_col='user_id', item_col='item_id',
+                               ratings_col='rating')
+    meta = {'genre': np.eye(4, dtype=np.float32)[
+        np.zeros(inter.num_items, dtype=np.int64)].T}
+    model = MatrixFactorizationModel(train=inter, embedding_dim=8, lr=1e-1,
+                                     loss='adaptive', seed=0,
+                                     metadata_for_loss=meta,
+                                     metadata_for_loss_weights={'genre': 0.25})
+    fp1 = model._loss_semantics_fingerprint()
+    old = model.metadata_for_loss['genre']
+    model.metadata_for_loss = {
+        'genre': jnp.asarray(np.eye(4, dtype=np.float32)[
+            np.ones(inter.num_items, dtype=np.int64)].T)}
+    del old
+    gc.collect()
+    fp2 = model._loss_semantics_fingerprint()
+    assert fp1 != fp2
+    assert len(model._loss_fp_refs) == 2, \
+        'both generations of metadata must stay pinned'
