@@ -289,6 +289,12 @@ class ExplicitInteractions(BaseInteractions):
                          num_users=num_users,
                          num_items=num_items)
 
+    @property
+    def num_negative_samples(self) -> int:
+        """Does not exist for explicit data (reference ``datasets.py:539-542``)."""
+        raise AttributeError(
+            '``num_negative_samples`` does not exist for explicit datasets.')
+
     def __repr__(self) -> str:
         return (
             f'ExplicitInteractions object with {self.num_interactions} interactions between '
@@ -363,6 +369,35 @@ class HDF5Interactions:
 
     def __len__(self) -> int:
         return self.num_interactions
+
+    def head(self, n: int = 5) -> 'pd.DataFrame':
+        """First ``n`` rows of the store as a DataFrame (reference
+        ``datasets.py:716-719``); negative ``n`` counts from the end."""
+        n = self._prep_head_tail_n(n)
+        return self._read_df_chunk(0, n)
+
+    def tail(self, n: int = 5) -> 'pd.DataFrame':
+        """Last ``n`` rows of the store as a DataFrame (reference
+        ``datasets.py:721-724``)."""
+        n = self._prep_head_tail_n(n)
+        return self._read_df_chunk(self.num_interactions - n, n)
+
+    def _prep_head_tail_n(self, n: int) -> int:
+        """Clamp ``n`` the way the reference does (``datasets.py:726-733``)."""
+        if n < 0:
+            n = self.num_interactions + n
+        return min(max(n, 0), self.num_interactions)
+
+    def _read_df_chunk(self, start: int, n: int) -> 'pd.DataFrame':
+        import h5py
+        import pandas as pd
+
+        with h5py.File(self.hdf5_path, 'r') as f:
+            grp = f[self.key]
+            return pd.DataFrame({
+                col: np.asarray(grp[col][start:start + n])
+                for col in grp.keys()
+            })
 
     def __getitem__(self, index: Tuple[int, int]
                     ) -> Tuple[Tuple[np.ndarray, np.ndarray], np.ndarray]:

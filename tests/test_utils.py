@@ -238,3 +238,37 @@ def test_get_init_arguments_exclude():
 
     f = Foo(1, b=5, c=7, extra='x')
     assert f.init_args == {'a': 1, 'c': 7, 'extra': 'x'}
+
+
+def test_hdf5_head_tail(tmp_path, df):
+    """``head``/``tail`` return DataFrame chunks with the reference's
+    negative-/over-sized-``n`` clamping (``datasets.py:716-733``)."""
+    from collie_tpu.data import HDF5Interactions
+
+    path = str(tmp_path / 'ht.h5')
+    pandas_df_to_hdf5(df, path)
+    inter = HDF5Interactions(hdf5_path=path)
+
+    head = inter.head(3)
+    assert list(head['user_id']) == [0, 0, 0]
+    assert list(head['item_id']) == [0, 1, 2]
+
+    tail = inter.tail(2)
+    assert list(tail['user_id']) == [2, 2]
+    assert list(tail['item_id']) == [0, 2]
+
+    # negative n counts from the other end; oversized n clamps
+    assert len(inter.head(-6)) == 2
+    assert len(inter.tail(100)) == 8
+    assert len(inter.head(0)) == 0
+
+
+def test_explicit_interactions_num_negative_samples_raises():
+    """Explicit datasets have no negative sampling; accessing the attribute
+    raises the reference's AttributeError (``datasets.py:539-542``)."""
+    from collie_tpu.data import ExplicitInteractions
+
+    inter = ExplicitInteractions(users=[0, 1, 2], items=[0, 1, 2],
+                                 ratings=[1.0, 2.0, 3.0])
+    with pytest.raises(AttributeError, match='does not exist for explicit'):
+        _ = inter.num_negative_samples
