@@ -354,11 +354,24 @@ class HDF5Interactions:
                 # over the store (``datasets.py:616-654``)
                 max_user = -1
                 max_item = -1
+                min_user = None
+                min_item = None
                 chunk = 100_000
                 for start in range(0, self.num_interactions, chunk):
                     sl = slice(start, min(start + chunk, self.num_interactions))
-                    max_user = max(max_user, int(grp[user_col][sl].max()))
-                    max_item = max(max_item, int(grp[item_col][sl].max()))
+                    u, i = grp[user_col][sl], grp[item_col][sl]
+                    max_user = max(max_user, int(u.max()))
+                    max_item = max(max_item, int(i.max()))
+                    min_user = int(u.min()) if min_user is None else min(min_user, int(u.min()))
+                    min_item = int(i.min()) if min_item is None else min(min_item, int(i.min()))
+                # the infer pass doubles as the reference's zero-index check
+                # (``datasets.py:632-650``): 1-indexed stores silently shift
+                # every embedding row, so fail loudly
+                if min_user != 0 or min_item != 0:
+                    raise ValueError(
+                        f'Minimum values of {user_col} and {item_col} in HDF5 data '
+                        f'must both be 0, not {min_user} and {min_item}, respectively.'
+                    )
                 if num_users == 'infer':
                     num_users = max_user + 1
                 if num_items == 'infer':

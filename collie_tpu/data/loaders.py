@@ -189,6 +189,7 @@ class HDF5InteractionsDataLoader(BaseInteractionsDataLoader):
                  hdf5_path: Optional[str] = None,
                  batch_size: int = 1024,
                  shuffle: bool = False,
+                 drop_last: bool = False,
                  seed: Optional[int] = None,
                  **interactions_kwargs):
         if interactions is None:
@@ -201,7 +202,7 @@ class HDF5InteractionsDataLoader(BaseInteractionsDataLoader):
         self.interactions = interactions
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
-        self.drop_last = False
+        self.drop_last = drop_last
         self.seed = seed if seed is not None else interactions.seed
         self._epoch = 0
         self.approximate_negative_sampling = True
@@ -218,7 +219,8 @@ class HDF5InteractionsDataLoader(BaseInteractionsDataLoader):
         self._epoch += 1
         n = self.interactions.num_interactions
         B = self.batch_size
-        starts = np.arange(0, n, B)
+        stop = (n // B) * B if self.drop_last else n
+        starts = np.arange(0, stop, B)
         if self.shuffle:
             starts = rng.permutation(starts)
         for start in starts:

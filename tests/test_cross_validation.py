@@ -114,3 +114,19 @@ def test_hdf5_interactions_cannot_be_split(tmp_path):
         random_split(h5)
     with pytest.raises(AssertionError, match='not supported'):
         stratified_split(h5)
+
+
+@pytest.mark.parametrize('split_fn', [random_split, stratified_split])
+@pytest.mark.parametrize('bad_kwargs', [
+    dict(val_p=0.9, test_p=0.2),   # combined > 1
+    dict(val_p=0.7, test_p=0.3),   # combined == 1
+    dict(val_p=-0.1, test_p=0.3),  # negative val_p, combined < 1
+    dict(test_p=1.1),              # test_p > 1
+    dict(test_p=1),                # test_p == 1
+    dict(test_p=-0.7),             # negative test_p
+])
+def test_splits_with_wrong_p_raise(interactions, split_fn, bad_kwargs):
+    """Full bad-proportion matrix of the reference's TestSplitsWithWrongP
+    (reference tests/test_cross_validation.py:291-337)."""
+    with pytest.raises(ValueError):
+        split_fn(interactions, **bad_kwargs, seed=0)

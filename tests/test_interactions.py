@@ -266,3 +266,99 @@ def test_interactions_len_and_minmax(interactions):
     assert len(interactions) == 8
     assert interactions.min_rating == 1
     assert interactions.max_rating == 5
+
+
+@pytest.mark.parametrize('users,items,ratings', [
+    ([0, 1, 2], [0, 1], [1, 1, 1]),       # items short
+    ([0, 1], [0, 1, 2], [1, 1, 1]),       # users short
+    ([0, 1, 2], [0, 1, 2], [1, 1]),       # ratings short
+    ([0, 1], [0, 1, 2], [1]),             # all mismatched
+])
+def test_mismatched_input_lengths_raise(users, items, ratings):
+    """Reference TestInteractionsWithInvalidLengths
+    (tests/test_interactions.py:129-159)."""
+    with pytest.raises(ValueError):
+        Interactions(users=users, items=items, ratings=ratings,
+                     check_num_negative_samples_is_valid=False)
+
+
+def test_hdf5_one_indexed_store_raises(tmp_path):
+    """The dim-infer scan validates ids are zero-indexed, as the reference's
+    does (``datasets.py:632-650``) — a 1-indexed store would silently shift
+    every embedding row."""
+    import pandas as pd
+
+    from collie_tpu.data import HDF5Interactions
+    from collie_tpu.utils import pandas_df_to_hdf5
+
+    df = pd.DataFrame({'user_id': np.array(USERS) + 1,
+                       'item_id': np.array(ITEMS) + 1})
+    path = str(tmp_path / 'one_indexed.h5')
+    pandas_df_to_hdf5(df, path)
+    with pytest.raises(ValueError, match='must both be 0'):
+        HDF5Interactions(hdf5_path=path)
+
+
+def test_all_data_loaders_output_equal(tmp_path):
+    """All three loader families yield identical positive streams over the
+    same unshuffled data and proxy identical dataset attributes (reference
+    ``test_all_data_loaders_output_equal``, tests/test_interactions.py:691-790)."""
+    import pandas as pd
+
+    from collie_tpu.data import HDF5InteractionsDataLoader, write_hdf5_meta
+    from collie_tpu.utils import pandas_df_to_hdf5
+
+    kwargs = dict(batch_size=3, shuffle=False, drop_last=False, seed=7)
+    inter_dl = InteractionsDataLoader(users=USERS, items=ITEMS,
+                                      num_negative_samples=2,
+                                      check_num_negative_samples_is_valid=False,
+                                      **kwargs)
+    approx_dl = ApproximateNegativeSamplingInteractionsDataLoader(
+        users=USERS, items=ITEMS, num_negative_samples=2,
+        check_num_negative_samples_is_valid=False, **kwargs)
+
+    path = str(tmp_path / 'same.h5')
+    pandas_df_to_hdf5(pd.DataFrame({'user_id': USERS, 'item_id': ITEMS}), path)
+    write_hdf5_meta(path, num_users=3, num_items=4)
+    hdf5_dl = HDF5InteractionsDataLoader(hdf5_path=path,
+                                         num_negative_samples=2, **kwargs)
+
+    assert inter_dl.num_users == approx_dl.num_users == hdf5_dl.num_users == 3
+    assert inter_dl.num_items == approx_dl.num_items == hdf5_dl.num_items == 4
+    assert (inter_dl.num_interactions == approx_dl.num_interactions
+            == hdf5_dl.num_interactions == 8)
+    assert len(inter_dl) == len(approx_dl) == len(hdf5_dl) == 3
+
+    def positive_stream(dl):
+        users, items = [], []
+        for batch in dl:
+            keep = batch['mask'].astype(bool)
+            users.extend(batch['users'][keep].tolist())
+            items.extend(batch['pos_items'][keep].tolist())
+        return users, items
+
+    streams = [positive_stream(dl) for dl in (inter_dl, approx_dl, hdf5_dl)]
+    assert streams[0] == streams[1] == streams[2] == (USERS, ITEMS)
+
+    for dl in (inter_dl, approx_dl, hdf5_dl):
+        for batch in dl:
+            assert batch['neg_items'].shape[-1] == 2
+
+
+def test_hdf5_loader_drop_last(tmp_path):
+    """``drop_last=True`` drops the final partial chunk, matching the
+    reference loader's torch-DataLoader semantics (``dataloaders.py:297-397``)."""
+    import pandas as pd
+
+    from collie_tpu.data import HDF5InteractionsDataLoader, write_hdf5_meta
+    from collie_tpu.utils import pandas_df_to_hdf5
+
+    path = str(tmp_path / 'dl.h5')
+    pandas_df_to_hdf5(pd.DataFrame({'user_id': USERS, 'item_id': ITEMS}), path)
+    write_hdf5_meta(path, num_users=3, num_items=4)
+
+    dl = HDF5InteractionsDataLoader(hdf5_path=path, batch_size=3,
+                                    drop_last=True, seed=0)
+    batches = list(dl)
+    assert len(dl) == len(batches) == 2
+    assert all(batch['mask'].all() for batch in batches)
