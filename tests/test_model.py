@@ -417,3 +417,44 @@ def test_bad_final_layer_raises():
         model = cls(train=inter, final_layer='bogus', seed=0)
         with pytest.raises(ValueError, match='not valid final layer'):
             model.score(model.params, np.array([0]), np.array([0]))
+
+
+@pytest.mark.parametrize('change', ['num_users', 'num_items',
+                                    'num_negative_samples', 'zero_negatives'])
+def test_mismatched_train_and_val_loaders_matrix(implicit_train, change):
+    """Reference ``test_mismatched_train_and_val_loaders`` matrix
+    (tests/test_model.py:69-98): users/items mismatches assert; a train/val
+    negatives split across the 1-vs->1 protocol boundary asserts; zero train
+    negatives is a ValueError."""
+    import copy
+
+    train = copy.copy(implicit_train)
+    val = copy.copy(implicit_train)
+    expected = AssertionError
+    if change == 'num_users':
+        val.num_users = train.num_users + 1
+    elif change == 'num_items':
+        val.num_items = train.num_items + 1
+    elif change == 'num_negative_samples':
+        train.num_negative_samples = 1
+        val.num_negative_samples = 2
+    elif change == 'zero_negatives':
+        train.num_negative_samples = 0
+        expected = ValueError
+    with pytest.raises(expected):
+        MatrixFactorizationModel(train=train, val=val, embedding_dim=4)
+
+
+def test_okay_mismatched_num_negative_samples(implicit_train):
+    """Both >1 is fine even when unequal (reference
+    ``test_okay_mismatched_train_and_val_loaders``, tests/test_model.py:101-112)."""
+    import copy
+
+    train = copy.copy(implicit_train)
+    val = copy.copy(implicit_train)
+    train.num_negative_samples = 2
+    val.num_negative_samples = 3
+    model = MatrixFactorizationModel(train=train, val=val, embedding_dim=4,
+                                     lr=0.1, seed=0)
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=0).fit(model)
+    assert model.hparams['num_epochs_completed'] == 1

@@ -248,3 +248,32 @@ def test_metadata_with_nans_raises(implicit_sets, trained_mf_model):
     with pytest.raises(ValueError, match='may not contain nulls'):
         HybridPretrainedModel(train=implicit_sets[0], item_metadata=bad,
                               trained_model=trained_mf_model)
+
+
+def test_cold_start_bucket_validation_matrix(implicit_sets):
+    """Full bad-bucket matrix of the reference's TestBadInitializationColdStartModel
+    (tests/test_model.py:873-917): 2-d, 1-indexed, too short, too long."""
+    train, _ = implicit_sets
+    n = train.num_items
+    rng = np.random.default_rng(0)
+
+    with pytest.raises(AssertionError, match='1-dimensional'):
+        ColdStartModel(train=train, item_buckets=rng.integers(0, 5, (n, 2)))
+    with pytest.raises(ValueError, match='start at 0'):
+        ColdStartModel(train=train, item_buckets=rng.integers(1, 5, n))
+    with pytest.raises(ValueError, match='Length of'):
+        ColdStartModel(train=train, item_buckets=np.zeros(n - 1, dtype=int))
+    with pytest.raises(ValueError, match='Length of'):
+        ColdStartModel(train=train, item_buckets=np.zeros(n + 1, dtype=int))
+
+
+def test_cold_start_bucket_types_accepted(implicit_sets):
+    """Lists and numpy arrays are both accepted and normalized into hparams
+    (reference ``test_item_buckets_wrong_type``)."""
+    train, _ = implicit_sets
+    n = train.num_items
+    buckets = np.zeros(n, dtype=int)
+    m1 = ColdStartModel(train=train, item_buckets=buckets.tolist())
+    m2 = ColdStartModel(train=train, item_buckets=buckets)
+    assert m1.hparams['item_buckets'] == m2.hparams['item_buckets']
+    assert m1.hparams['num_item_buckets'] == 1
