@@ -47,8 +47,9 @@ def main():
 
     # 2. fused Pallas kernel
     from collie_tpu.ops.pallas.retrieval_kernel import mf_topk_retrieve
+    interpret = jax.default_backend() != 'tpu'  # Mosaic compiles on TPU only
     pallas = lambda: mf_topk_retrieve(user_emb, user_bias, item_emb, item_bias,  # noqa: E731
-                                      k=k, tile=4096)
+                                      k=k, tile=4096, interpret=interpret)
     pallas_ids, pallas_scores = timeit('pallas fused tile top-k', pallas)
 
     agree = (np.asarray(pallas_ids) == np.asarray(naive_ids)).mean()
