@@ -283,3 +283,18 @@ def test_evaluators_validate_interaction_types(implicit_interactions):
                        match='must be of type ``ExplicitInteractions``'):
         explicit_evaluate_in_batches(['mse'], implicit_interactions, model,
                                      verbose=False)
+
+
+def test_mapk_user_subset(targets, implicit_predicted_scores):
+    """MAP over a user subset (reference ``test_map``,
+    tests/test_metrics.py:101-108: users [1, 2] at k=4 -> 0.75)."""
+    user_ids = np.array([1, 2])
+    score = mapk(targets, user_ids, implicit_predicted_scores[user_ids, :], k=4)
+    assert_almost_equal(score, 0.75, decimal=5)
+
+
+def test_mapk_at_1(targets, implicit_predicted_scores):
+    """MAP@1 toy constant (reference ``test_map_1``,
+    tests/test_metrics.py:111-118: 2/3)."""
+    score = mapk(targets, USER_IDS, implicit_predicted_scores, k=1)
+    assert_almost_equal(score, 2 / 3, decimal=5)
