@@ -181,7 +181,41 @@ def bench_torch_reference_equivalent(train, epochs=1, batch_size=1024):
     return n * epochs / secs
 
 
+def _device_watchdog(timeout_s: float = 600.0):
+    """Fail loudly if the accelerator tunnel is wedged.
+
+    The axon TPU is reached over a relay; a lost grant leaves every device
+    call blocked forever with zero output.  Probe with a trivial dispatch in
+    a daemon thread — if it does not complete within ``timeout_s`` (generous:
+    a cold remote compile is 30-90 s), print a diagnostic JSON line and exit
+    nonzero so the driver records *why* the bench produced no number instead
+    of a silent hang."""
+    import threading
+
+    done = threading.Event()
+
+    def _probe():
+        import jax
+        import jax.numpy as jnp
+        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+        done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        import os
+        print(json.dumps({
+            'metric': 'mf_train_examples_per_sec',
+            'value': 0.0,
+            'unit': 'examples/sec',
+            'vs_baseline': 0.0,
+            'error': f'device unreachable: trivial dispatch did not complete '
+                     f'within {timeout_s:.0f}s (tunnel/grant wedged?)',
+        }), flush=True)
+        os._exit(3)
+
+
 def main():
+    _device_watchdog()
     train, test = build_data()
     ours = bench_collie_tpu(train, test)
     # matching-semantics baseline: the reference's default exact-sampling path
