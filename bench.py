@@ -191,25 +191,34 @@ def _device_watchdog(timeout_s: float = 600.0):
     nonzero so the driver records *why* the bench produced no number instead
     of a silent hang."""
     import threading
+    import traceback
 
     done = threading.Event()
+    failure = []
 
     def _probe():
-        import jax
-        import jax.numpy as jnp
-        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
-        done.set()
+        try:
+            import jax
+            import jax.numpy as jnp
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+        except BaseException:
+            failure.append(traceback.format_exc())
+        finally:
+            done.set()  # a fast *error* must report immediately, not after timeout_s
 
     threading.Thread(target=_probe, daemon=True).start()
-    if not done.wait(timeout_s):
+    if not done.wait(timeout_s) or failure:
         import os
+        reason = (f'device error during trivial dispatch:\n{failure[0]}'
+                  if failure else
+                  f'device unreachable: trivial dispatch did not complete '
+                  f'within {timeout_s:.0f}s (tunnel/grant wedged?)')
         print(json.dumps({
             'metric': 'mf_train_examples_per_sec',
             'value': 0.0,
             'unit': 'examples/sec',
             'vs_baseline': 0.0,
-            'error': f'device unreachable: trivial dispatch did not complete '
-                     f'within {timeout_s:.0f}s (tunnel/grant wedged?)',
+            'error': reason,
         }), flush=True)
         os._exit(3)
 

@@ -350,6 +350,11 @@ class HDF5Interactions:
             if meta is not None and 'num_items' in meta.attrs and num_items == 'infer':
                 num_items = int(meta.attrs['num_items'])
             if num_users == 'infer' or num_items == 'infer':
+                if self.num_interactions == 0:
+                    raise ValueError(
+                        f'Cannot infer ``num_users``/``num_items`` from an '
+                        f'empty HDF5 store: {self.hdf5_path!r} key {key!r} '
+                        f'has 0 interactions.')
                 # chunked max-scan, mirroring the reference's 100k-chunk pass
                 # over the store (``datasets.py:616-654``)
                 max_user = -1
@@ -402,15 +407,20 @@ class HDF5Interactions:
         return min(max(n, 0), self.num_interactions)
 
     def _read_df_chunk(self, start: int, n: int) -> 'pd.DataFrame':
+        """DataFrame chunk with the source's column order and original row
+        offsets as the index, matching the reference's ``store.select``
+        output (``datasets.py:716-733``) so positional-column / index-join
+        code ported from it keeps working."""
         import h5py
         import pandas as pd
 
         with h5py.File(self.hdf5_path, 'r') as f:
             grp = f[self.key]
-            return pd.DataFrame({
-                col: np.asarray(grp[col][start:start + n])
-                for col in grp.keys()
-            })
+            cols = [c for c in grp.attrs.get('column_order', sorted(grp.keys()))
+                    if c in grp]
+            return pd.DataFrame(
+                {col: np.asarray(grp[col][start:start + n]) for col in cols},
+                columns=cols, index=range(start, start + n))
 
     def __getitem__(self, index: Tuple[int, int]
                     ) -> Tuple[Tuple[np.ndarray, np.ndarray], np.ndarray]:

@@ -398,26 +398,42 @@ class BasePipeline:
         loss-metadata arrays + weights (inside ``calculate_loss``).  Part of
         the trainer's compiled-program cache keys — mutating any of these
         between fits must build a new program (CLAUDE.md cache-invalidation
-        invariant).  jnp arrays are immutable, so ``id()`` identifies a
-        metadata array — and every fingerprinted array is pinned in
-        ``_loss_fp_refs`` so a gc'd array's ``id()`` can never be recycled
-        onto a different metadata array (which would silently match a stale
-        compiled program with the old metadata baked in)."""
+        invariant).  jnp arrays are immutable, so each distinct metadata
+        array gets a monotonically increasing *token* from ``_loss_fp_refs``
+        (id -> token, with a weakref callback evicting the entry when the
+        array is gc'd) — a recycled ``id()`` therefore mints a NEW token
+        instead of silently matching a stale compiled program, and nothing
+        is pinned, so refitting with fresh metadata cannot leak HBM."""
         hp = self.hparams
         meta = self.metadata_for_loss or {}
         weights = self.metadata_for_loss_weights or {}
-        refs = self.__dict__.setdefault('_loss_fp_refs', {})
-        for k in meta:
-            refs[id(meta[k])] = meta[k]
         y_range = hp.get('y_range')
         return (
             float(hp.get('weight_decay', 0.0) or 0.0),
             tuple(float(hp.get(n, 0.0) or 0.0) for n in self._DROPOUT_HPARAMS),
             tuple(y_range) if y_range is not None else None,
             tuple(sorted(
-                (k, float(weights.get(k, 0.0)), id(meta[k]),
+                (k, float(weights.get(k, 0.0)), self._loss_fp_token(meta[k]),
                  tuple(jnp.shape(meta[k]))) for k in meta)),
         )
+
+    def _loss_fp_token(self, arr) -> int:
+        """Stable per-array token for the loss-semantics fingerprint."""
+        import weakref
+
+        refs = self.__dict__.setdefault('_loss_fp_refs', {})
+        key = id(arr)
+        entry = refs.get(key)
+        if entry is not None and entry[1]() is arr:
+            return entry[0]
+        token = self.__dict__.setdefault('_loss_fp_counter', 0) + 1
+        self._loss_fp_counter = token
+        try:
+            ref = weakref.ref(arr, lambda _, refs=refs, key=key: refs.pop(key, None))
+        except TypeError:  # non-weakref-able (plain np scalar views etc.)
+            ref = lambda a=arr: a  # strong pin — the pre-token behavior
+        refs[key] = (token, ref)
+        return token
 
     @staticmethod
     def _sparse_selection_enabled() -> bool:

@@ -206,7 +206,6 @@ class CollieTrainer:
             return slots[loader]
 
         if use_scan_train:
-            self._device_put_loss_metadata(model)
             key = ('train', stage, mesh_key, self.exact_sampling_dedup_rounds,
                    path_flags, loss_fp)
             train_epoch_fn, train_epoch_data, _, scan_examples = _loader_slot(
@@ -216,7 +215,6 @@ class CollieTrainer:
                     mesh=self.mesh, training=True,
                     dedup_rounds=self.exact_sampling_dedup_rounds))
         if use_scan_val:
-            self._device_put_loss_metadata(model)
             # path_flags matters for implicit val too: the val epoch samples
             # negatives through the same env-gated sampler selection
             key = ('val', stage, mesh_key, val_flags, loss_fp)
@@ -336,11 +334,14 @@ class CollieTrainer:
         # has no such leaf — the host loop handles it (and only fails if a
         # plateau reduction actually fires), so fall back rather than crash
         # at trace time
+        from collie_tpu.training.optimizers import _find_hyperparams
         for cfg, state in zip(cfgs, opt_states):
             if cfg[0] == 'none':
                 continue
-            hp = getattr(state, 'hyperparams', None)
-            if hp is None or 'learning_rate' not in hp:
+            try:
+                if 'learning_rate' not in _find_hyperparams(state):
+                    return False
+            except ValueError:
                 return False
         return True
 
@@ -711,7 +712,9 @@ class CollieTrainer:
             model.metadata_for_loss = {k: jnp.asarray(v) for k, v in metadata.items()}
 
     def _build_steps(self, model, specs, active):
-        self._device_put_loss_metadata(model)
+        # metadata is already on device: fit() transfers it before
+        # fingerprinting (the fingerprint is identity-based, so the transfer
+        # must happen exactly once, before any key is computed)
 
         def loss_fn(params, batch, rng):
             return model.calculate_loss(params, batch, rng=rng, training=True)

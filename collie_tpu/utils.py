@@ -172,6 +172,10 @@ def pandas_df_to_hdf5(df: pd.DataFrame,
     out_path = str(out_path)
     with h5py.File(out_path, 'a') as f:
         grp = f.require_group(key)
+        # h5py iterates datasets name-sorted; record the DataFrame's column
+        # order so readers (``HDF5Interactions.head``/``tail``) can restore it
+        if 'column_order' not in grp.attrs:
+            grp.attrs['column_order'] = list(map(str, df.columns))
         for col in df.columns:
             data = df[col].to_numpy()
             if col in grp:

@@ -252,10 +252,15 @@ def test_hdf5_head_tail(tmp_path, df):
     head = inter.head(3)
     assert list(head['user_id']) == [0, 0, 0]
     assert list(head['item_id']) == [0, 1, 2]
+    # source column order and original row offsets, like the reference's
+    # ``store.select`` output
+    assert list(head.columns) == ['user_id', 'item_id', 'rating']
+    assert list(head.index) == [0, 1, 2]
 
     tail = inter.tail(2)
     assert list(tail['user_id']) == [2, 2]
     assert list(tail['item_id']) == [0, 2]
+    assert list(tail.index) == [6, 7]
 
     # negative n counts from the other end; oversized n clamps
     assert len(inter.head(-6)) == 2
@@ -272,3 +277,21 @@ def test_explicit_interactions_num_negative_samples_raises():
                                  ratings=[1.0, 2.0, 3.0])
     with pytest.raises(AttributeError, match='does not exist for explicit'):
         _ = inter.num_negative_samples
+
+
+def test_hdf5_empty_store_infer_raises(tmp_path):
+    """Inferring dims from an empty store is a clear error, not a confusing
+    zero-index validation failure."""
+    import h5py
+
+    from collie_tpu.data import HDF5Interactions
+
+    path = str(tmp_path / 'empty.h5')
+    with h5py.File(path, 'w') as f:
+        grp = f.create_group('interactions')
+        grp.create_dataset('user_id', data=np.array([], dtype=np.int64),
+                           maxshape=(None,), chunks=True)
+        grp.create_dataset('item_id', data=np.array([], dtype=np.int64),
+                           maxshape=(None,), chunks=True)
+    with pytest.raises(ValueError, match='empty HDF5 store'):
+        HDF5Interactions(hdf5_path=path)

@@ -382,14 +382,14 @@ def test_metadata_fingerprint_stable_across_fits(implicit_train, monkeypatch):
         'second identical fit must reuse the cached programs'
 
 
-def test_metadata_fingerprint_pins_arrays_against_id_recycling():
-    """Every fingerprinted metadata array is pinned in _loss_fp_refs so a
-    gc'd array's id() can never be recycled onto replacement metadata (which
-    would silently reuse the compiled program with the OLD metadata baked in
-    as constants)."""
+def test_metadata_fingerprint_safe_against_id_recycling_without_pinning():
+    """Fingerprint tokens are minted per array *generation*: a gc'd array's
+    id() can never be recycled onto replacement metadata (which would
+    silently reuse the compiled program with the OLD metadata baked in as
+    constants) — and stale generations are NOT pinned, so sweeping over
+    metadata variants cannot leak device memory."""
     import gc
 
-    from collie_tpu.data import InteractionsDataLoader
     from collie_tpu.data.synthetic import generate_interactions_df
     from collie_tpu.utils import df_to_interactions
 
@@ -403,13 +403,22 @@ def test_metadata_fingerprint_pins_arrays_against_id_recycling():
                                      metadata_for_loss=meta,
                                      metadata_for_loss_weights={'genre': 0.25})
     fp1 = model._loss_semantics_fingerprint()
+    # same arrays -> same fingerprint (token is cached, not re-minted)
+    assert model._loss_semantics_fingerprint() == fp1
+
     old = model.metadata_for_loss['genre']
+    old_id = id(old)
     model.metadata_for_loss = {
         'genre': jnp.asarray(np.eye(4, dtype=np.float32)[
             np.ones(inter.num_items, dtype=np.int64)].T)}
-    del old
+    del old, meta
     gc.collect()
     fp2 = model._loss_semantics_fingerprint()
     assert fp1 != fp2
-    assert len(model._loss_fp_refs) == 2, \
-        'both generations of metadata must stay pinned'
+
+    # the gc'd generation was evicted (no pin), and even an id() collision
+    # with the dead array would mint a fresh token
+    assert old_id not in model._loss_fp_refs or \
+        model._loss_fp_refs[old_id][1]() is not None
+    live_entries = [e for e in model._loss_fp_refs.values() if e[1]() is not None]
+    assert len(live_entries) == len(model._loss_fp_refs)
