@@ -206,10 +206,33 @@ class BasePipeline:
 
     # ------------------------------------------------------------------ setup
 
+    #: storage dtypes accepted for ``embeddings_dtype``.  bfloat16 halves the
+    #: tables' HBM footprint and gather bandwidth (the training bottleneck for
+    #: factorization models); all compute still runs in float32 — lookups
+    #: upcast right after the row gather (``ops.embeddings.embedding_lookup``)
+    _EMBEDDINGS_DTYPES = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}
+
     def _setup_model(self, **kwargs) -> None:
         """Build ``self.params`` from a PRNG key derived from ``hparams['seed']``."""
         rng = jax.random.PRNGKey(self.hparams['seed'])
-        self.params = self._build_params(rng)
+        self.params = self._apply_embeddings_dtype(self._build_params(rng))
+
+    def _apply_embeddings_dtype(self, params: Dict[str, jnp.ndarray]
+                                ) -> Dict[str, jnp.ndarray]:
+        """Cast embedding *tables* (keys containing ``'embedding'``, the same
+        name convention the bias-optimizer split relies on) to the storage
+        dtype from ``hparams['embeddings_dtype']``; biases and tower weights
+        stay float32."""
+        name = self.hparams.get('embeddings_dtype') or 'float32'
+        if name not in self._EMBEDDINGS_DTYPES:
+            raise ValueError(
+                f"``embeddings_dtype`` must be one of "
+                f"{sorted(self._EMBEDDINGS_DTYPES)}, not {name!r}.")
+        dtype = self._EMBEDDINGS_DTYPES[name]
+        if dtype == jnp.float32:
+            return params
+        return {k: (v.astype(dtype) if 'embedding' in k else v)
+                for k, v in params.items()}
 
     def _build_params(self, rng: jax.Array) -> Dict[str, jnp.ndarray]:
         raise NotImplementedError('``_build_params`` must be implemented in all subclasses.')
@@ -411,6 +434,7 @@ class BasePipeline:
         return (
             float(hp.get('weight_decay', 0.0) or 0.0),
             tuple(float(hp.get(n, 0.0) or 0.0) for n in self._DROPOUT_HPARAMS),
+            str(hp.get('embeddings_dtype') or 'float32'),
             tuple(y_range) if y_range is not None else None,
             tuple(sorted(
                 (k, float(weights.get(k, 0.0)), self._loss_fp_token(meta[k]),
@@ -662,6 +686,7 @@ class BasePipeline:
 
     @staticmethod
     def _embedding_similarity(embeddings: jnp.ndarray, idx: int) -> pd.Series:
+        embeddings = embeddings.astype(jnp.float32)  # bf16 tables: norm in f32
         emb = embeddings / jnp.linalg.norm(embeddings, axis=1, keepdims=True)
         sims = emb[idx] @ emb.T
         return pd.Series(np.asarray(sims)).sort_values(ascending=False)
@@ -681,7 +706,13 @@ class BasePipeline:
     def save_model(self, filename: Union[str, Path] = 'model.npz') -> None:
         """Persist ``{params, hparams}`` to one ``.npz`` — no trainer or
         optimizer state, matching the reference (``base_pipeline.py:880-900``)."""
-        arrays = {f'param:{k}': np.asarray(v) for k, v in self.params.items()}
+        # npz has no bfloat16: store bf16 tables upcast to float32 (lossless)
+        # and let load re-apply hparams['embeddings_dtype']
+        arrays = {
+            f'param:{k}': (np.asarray(v, dtype=np.float32)
+                           if v.dtype == jnp.bfloat16 else np.asarray(v))
+            for k, v in self.params.items()
+        }
         if self.metadata_for_loss is not None:
             arrays.update({
                 f'lossmeta:{k}': np.asarray(v) for k, v in self.metadata_for_loss.items()
@@ -716,10 +747,10 @@ class BasePipeline:
                 self.metadata_for_loss = lossmeta
             self._restore_extra_arrays(loaded, **kwargs)
             self._setup_model(**kwargs)
-            self.params = {
+            self.params = self._apply_embeddings_dtype({
                 k[len('param:'):]: jnp.asarray(loaded[k])
                 for k in loaded.files if k.startswith('param:')
-            }
+            })
 
     def _restore_extra_arrays(self, loaded, **kwargs) -> None:
         """Hook for subclasses to restore extra saved arrays before setup."""

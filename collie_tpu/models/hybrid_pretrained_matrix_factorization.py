@@ -20,7 +20,8 @@ from collie_tpu.models._hybrid_common import (as_float_array, build_combined_par
                                               combined_prediction, load_hybrid_metadata,
                                               metadata_tower_output, save_hybrid_model)
 from collie_tpu.models.base import INTERACTIONS_LIKE_INPUT, BasePipeline
-from collie_tpu.ops.embeddings import scaled_embedding_init, zero_embedding_init
+from collie_tpu.ops.embeddings import embedding_lookup, scaled_embedding_init, \
+    zero_embedding_init
 from collie_tpu.training.optimizers import OptimizerSpec, build_transform
 from collie_tpu.training.schedulers import ReduceLROnPlateau
 from collie_tpu.utils import get_init_arguments, merge_docstrings
@@ -174,8 +175,8 @@ class HybridPretrainedModel(BasePipeline):
         p = self.hparams.get('dropout_p', 0.0)
         rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
 
-        user_emb = params['user_embeddings'][users]
-        item_emb = params['item_embeddings'][items]
+        user_emb = embedding_lookup(params['user_embeddings'], users)
+        item_emb = embedding_lookup(params['item_embeddings'], items)
         if self._embeddings_frozen:
             # frozen embeddings receive no gradient (reference sets
             # ``requires_grad = False``; they are also excluded from the

@@ -47,6 +47,8 @@ def sharded_embedding_lookup(table: jnp.ndarray,
         in_range = (local >= 0) & (local < rows_per_shard)
         safe = jnp.clip(local, 0, rows_per_shard - 1)
         rows = table_shard[safe]
+        if rows.dtype == jnp.bfloat16:  # bf16 tables: upcast post-gather,
+            rows = rows.astype(jnp.float32)  # like ops.embeddings.embedding_lookup
         rows = jnp.where(in_range[:, None], rows, 0.0)
         return jax.lax.psum(rows, MODEL_AXIS)
 

@@ -159,7 +159,7 @@ def _build_sharded_retrieval(model, k, item_tile, filter_seen, mesh, _local_topk
 
     def _local_topk_from_shard(params, user_ids, seen, start):
         """Blockwise top-k scoring straight off the local table shard."""
-        user_emb = params['user_embeddings'][user_ids]
+        user_emb = params['user_embeddings'][user_ids].astype(jnp.float32)
         user_bias = params['user_biases'][user_ids]
         B = user_ids.shape[0]
         init = (jnp.full((B, k), NEG_INF), jnp.zeros((B, k), jnp.int32))
@@ -169,7 +169,7 @@ def _build_sharded_retrieval(model, k, item_tile, filter_seen, mesh, _local_topk
             local_ids = tile_idx * item_tile + jnp.arange(item_tile,
                                                           dtype=jnp.int32)
             safe = jnp.minimum(local_ids, shard_span - 1)
-            item_emb = params['item_embeddings'][safe]          # local gather
+            item_emb = params['item_embeddings'][safe].astype(jnp.float32)
             scores = (jnp.matmul(user_emb, item_emb.T,
                                  precision=jax.lax.Precision.HIGHEST)
                       + user_bias[:, None]
@@ -231,6 +231,8 @@ def _maybe_pallas_retrieve(model, k: int, item_tile: int, filter_seen: bool):
 
     if filter_seen or type(model) is not MatrixFactorizationModel or k > 128:
         return None
+    if any(v.dtype != jnp.float32 for v in model.params.values()):
+        return None  # bf16 tables: the Mosaic kernel's envelope is f32
 
     from collie_tpu.ops.pallas.retrieval_kernel import mf_topk_retrieve
 

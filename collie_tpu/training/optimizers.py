@@ -77,7 +77,46 @@ def build_transform(optimizer: Union[str, Callable[..., Any]],
         parts.append(optax.scale_by_learning_rate(learning_rate))
         return optax.chain(*parts)
 
-    return _make(learning_rate=lr)
+    return _f32_optimizer_math(_make(learning_rate=lr))
+
+
+def _f32_optimizer_math(inner: optax.GradientTransformation
+                        ) -> optax.GradientTransformation:
+    """Run the optimizer chain at float32 regardless of parameter storage
+    dtype.
+
+    With ``embeddings_dtype='bfloat16'`` the tables are stored half-width;
+    without this wrapper optax would also keep Adam's mu/nu moments and the
+    whole update computation in bf16, which measurably degrades training
+    (gate config, 3 seeds: MAP@10 0.0323 vs 0.0349, AUC 0.653 vs 0.676).
+    The wrapper upcasts grads/params to f32 for the inner chain (so moments
+    init and stay f32) and rounds only the final per-step update back to the
+    storage dtype.  Stateless: the inner state (including the injected
+    ``hyperparams`` learning rate that ``set_lr``/``get_lr`` mutate) passes
+    through untouched, and for all-f32 params every cast is an identity XLA
+    drops.  The remaining bf16 cost is storage rounding only — the same
+    rounding a post-training cast applies, which measures at zero quality
+    cost (``tests/test_bf16_embeddings.py``)."""
+    import jax
+    import jax.numpy as jnp
+
+    def _f32(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, 'dtype') and x.dtype == jnp.bfloat16 else x, tree)
+
+    def init(params):
+        return inner.init(_f32(params))
+
+    def update(updates, state, params=None):
+        out, new_state = inner.update(
+            _f32(updates), state, _f32(params) if params is not None else None)
+        if params is not None:
+            out = jax.tree_util.tree_map(
+                lambda u, p: u.astype(p.dtype), out, params)
+        return out, new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def get_lr(opt_state) -> float:
