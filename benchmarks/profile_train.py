@@ -178,20 +178,20 @@ def profile_config(num_users, num_items, num_interactions, dim, batch_size,
     inter = build_data(num_users, num_items, num_interactions)
     loader = InteractionsDataLoader(interactions=inter, batch_size=batch_size,
                                     shuffle=True, seed=0)
+    # dtype exercises the SHIPPED path (``embeddings_dtype``): bf16 gathers
+    # with f32-accumulated backward and f32 optimizer math — not a bare
+    # params cast, whose bf16 moments degrade quality (docs/TUNING.md)
+    dtype_name = 'bfloat16' if dtype == jnp.bfloat16 else 'float32'
     model = MatrixFactorizationModel(train=loader, embedding_dim=dim, lr=1e-1,
-                                     loss='adaptive', seed=0)
-    if dtype is not None:
-        model.params = {
-            k: (v.astype(dtype) if 'embedding' in k else v)
-            for k, v in model.params.items()
-        }
+                                     loss='adaptive', seed=0,
+                                     embeddings_dtype=dtype_name)
     stages = time_stages(model, loader)
     n = stages.pop('examples')
     out = {
         'config': {'num_users': num_users, 'num_items': num_items,
                    'interactions': num_interactions, 'dim': dim,
                    'batch_size': batch_size,
-                   'dtype': str(dtype) if dtype else 'float32'},
+                   'dtype': dtype_name},
         'epoch_ms': {k: round(v * 1e3, 2) for k, v in stages.items()},
         'attribution_ms': {
             'sampling': round(stages['sampling'] * 1e3, 2),
