@@ -149,7 +149,7 @@ def _fused_evaluate(metric_list, test_users, targets, model, k: int,
     # hparams['stage'] at trace time, so a function traced in one stage is
     # silently wrong in another (CLAUDE.md cache-invalidation invariant)
     key = ('fused_eval', model.current_stage, k, batch_size, S, D, num_items,
-           id(mesh) if mesh is not None else None)
+           mesh)  # hashes by topology — no id-recycling alias
 
     if key not in cache:
         if mesh is None:

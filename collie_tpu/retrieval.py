@@ -292,7 +292,7 @@ def recommend(model,
     if cache is None:
         cache = model._compiled_fn_cache = {}
     key = ('retrieval', model.current_stage, k, item_tile, filter_seen,
-           id(mesh) if mesh is not None else None)
+           mesh)  # hashes by topology — no id-recycling alias
     if key not in cache:
         cache[key] = build_retrieval_fn(model, k=k, item_tile=item_tile,
                                         filter_seen=filter_seen, mesh=mesh)

@@ -160,7 +160,8 @@ class CollieTrainer:
         cache = getattr(model, '_compiled_fn_cache', None)
         if cache is None:
             cache = model._compiled_fn_cache = {}
-        mesh_key = id(self.mesh) if self.mesh is not None else None
+        mesh_key = self.mesh  # Mesh hashes by topology: equal meshes reuse
+        # programs; a gc-recycled id() can never alias a different mesh
         # scan-engine entries store the loader object itself and verify
         # identity on reuse (id() alone can be recycled by the allocator,
         # which would silently train on a stale snapshot of epoch data)
@@ -365,7 +366,8 @@ class CollieTrainer:
         if num_epochs <= 0:
             return
         stage = model.current_stage
-        mesh_key = id(self.mesh) if self.mesh is not None else None
+        mesh_key = self.mesh  # Mesh hashes by topology: equal meshes reuse
+        # programs; a gc-recycled id() can never alias a different mesh
         cache = model._compiled_fn_cache
 
         def fit_fn_for(block_len):
