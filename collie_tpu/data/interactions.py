@@ -416,8 +416,11 @@ class HDF5Interactions:
 
         with h5py.File(self.hdf5_path, 'r') as f:
             grp = f[self.key]
-            cols = [c for c in grp.attrs.get('column_order', sorted(grp.keys()))
-                    if c in grp]
+            # stored order first, then any datasets the attr predates (a
+            # later append may add columns without rewriting column_order) —
+            # never silently drop a dataset
+            ordered = [c for c in grp.attrs.get('column_order', ()) if c in grp]
+            cols = ordered + sorted(set(grp.keys()) - set(ordered))
             return pd.DataFrame(
                 {col: np.asarray(grp[col][start:start + n]) for col in cols},
                 columns=cols, index=range(start, start + n))

@@ -178,9 +178,9 @@ class ColdStartModel(MultiStagePipeline):
     def item_bucket_item_similarity(self, item_bucket_id: int) -> pd.Series:
         """Cosine similarity of one bucket embedding against every item
         embedding (reference ``:322-359``)."""
-        bucket_emb = self.params['item_bucket_embeddings']
+        bucket_emb = self.params['item_bucket_embeddings'].astype(jnp.float32)
         bucket_emb = bucket_emb / jnp.linalg.norm(bucket_emb, axis=1, keepdims=True)
-        item_emb = self._get_item_embeddings()
+        item_emb = self._get_item_embeddings().astype(jnp.float32)
         item_emb = item_emb / jnp.linalg.norm(item_emb, axis=1, keepdims=True)
         sims = bucket_emb[item_bucket_id] @ item_emb.T
         return pd.Series(np.asarray(sims)).sort_values(ascending=False)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from collie_tpu.ops.embeddings import embedding_lookup
 from collie_tpu.parallel.mesh import MODEL_AXIS
 
 
@@ -46,9 +47,11 @@ def sharded_embedding_lookup(table: jnp.ndarray,
         local = ids - start
         in_range = (local >= 0) & (local < rows_per_shard)
         safe = jnp.clip(local, 0, rows_per_shard - 1)
-        rows = table_shard[safe]
-        if rows.dtype == jnp.bfloat16:  # bf16 tables: upcast post-gather,
-            rows = rows.astype(jnp.float32)  # like ops.embeddings.embedding_lookup
+        # via ops.embeddings.embedding_lookup: bf16 tables upcast post-gather
+        # AND the backward scatter-add accumulates row collisions at f32
+        # (its custom vjp) — forward-only upcasting here would reintroduce
+        # the naive-bf16-accumulation gradient loss it exists to prevent
+        rows = embedding_lookup(table_shard, safe)
         rows = jnp.where(in_range[:, None], rows, 0.0)
         return jax.lax.psum(rows, MODEL_AXIS)
 

@@ -55,11 +55,15 @@ def build_transform(optimizer: Union[str, Callable[..., Any]],
     injected (state-resident, host-mutable) learning rate."""
     if callable(optimizer) and not isinstance(optimizer, str):
         # custom factory: expected to return an optax.GradientTransformation
-        # when called with (learning_rate=..., weight_decay=...)
+        # when called with (learning_rate=..., weight_decay=...).  Wrapped in
+        # the f32-math shim like the string-built transforms — bf16 params
+        # would otherwise give the factory bf16 moments/updates (the measured
+        # degradation _f32_optimizer_math documents); identity for f32
         try:
-            return optimizer(learning_rate=lr, weight_decay=weight_decay)
+            inner = optimizer(learning_rate=lr, weight_decay=weight_decay)
         except TypeError:
-            return optimizer(learning_rate=lr)
+            inner = optimizer(learning_rate=lr)
+        return _f32_optimizer_math(inner)
 
     if optimizer == 'sparse_adam' and weight_decay != 0.0:
         # torch.optim.SparseAdam does not support weight decay

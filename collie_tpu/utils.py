@@ -173,9 +173,12 @@ def pandas_df_to_hdf5(df: pd.DataFrame,
     with h5py.File(out_path, 'a') as f:
         grp = f.require_group(key)
         # h5py iterates datasets name-sorted; record the DataFrame's column
-        # order so readers (``HDF5Interactions.head``/``tail``) can restore it
-        if 'column_order' not in grp.attrs:
-            grp.attrs['column_order'] = list(map(str, df.columns))
+        # order so readers (``HDF5Interactions.head``/``tail``) can restore
+        # it — extended (never rewritten) when an append introduces columns
+        known = list(grp.attrs.get('column_order', ()))
+        new = [str(c) for c in df.columns if str(c) not in known]
+        if new or 'column_order' not in grp.attrs:
+            grp.attrs['column_order'] = known + new
         for col in df.columns:
             data = df[col].to_numpy()
             if col in grp:

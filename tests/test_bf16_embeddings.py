@@ -155,3 +155,63 @@ def test_bf16_sharded_lookup_upcasts(implicit_train):
     assert out.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(out),
                                   np.asarray(table[ids], dtype=np.float32))
+
+
+def test_custom_factory_gets_f32_moments(implicit_train):
+    """A callable optimizer factory is wrapped in the f32-math shim too: bf16
+    params must not give it bf16 Adam moments (the measured -8%-MAP failure
+    mode the shim exists to prevent)."""
+    import jax
+    import optax
+
+    from collie_tpu.training.optimizers import build_transform
+
+    tx = build_transform(lambda learning_rate, **kw: optax.adam(learning_rate),
+                         lr=0.1)
+    params = {'user_embeddings': jnp.zeros((4, 2), jnp.bfloat16),
+              'user_biases': jnp.zeros((4,), jnp.float32)}
+    state = tx.init(params)
+    mu = jax.tree_util.tree_leaves(state)
+    adam_mu = [x for x in mu if hasattr(x, 'shape') and x.shape == (4, 2)]
+    assert adam_mu and all(x.dtype == jnp.float32 for x in adam_mu)
+    # and the returned update matches the param storage dtype
+    grads = {'user_embeddings': jnp.ones((4, 2), jnp.bfloat16),
+             'user_biases': jnp.ones((4,), jnp.float32)}
+    updates, _ = tx.update(grads, state, params)
+    assert updates['user_embeddings'].dtype == jnp.bfloat16
+
+
+def test_sharded_lookup_backward_accumulates_f32(implicit_train):
+    """Row-collision gradients through ``sharded_embedding_lookup`` accumulate
+    at f32 and round to storage dtype once — 256 colliding contributions of
+    2e-3 must sum to ~0.512, not decay-to-noise as naive bf16 accumulation
+    would."""
+    import jax
+
+    from collie_tpu.parallel import make_mesh, shard_table, sharded_embedding_lookup
+
+    if len(jax.devices()) < 2:
+        pytest.skip('needs the 8-virtual-device CPU mesh')
+    mesh = make_mesh(model=2)
+    table = jnp.zeros((8, 4), jnp.bfloat16)
+    ids = jnp.zeros((256,), jnp.int32)  # every lookup hits row 0
+
+    def loss(t):
+        return (sharded_embedding_lookup(t, ids, mesh) * 2e-3).sum()
+
+    grad = jax.grad(loss)(shard_table(table, mesh))
+    assert grad.dtype == jnp.bfloat16
+    expected = np.float32(256 * 2e-3 * 4 / 4)  # per-element: 256 * 2e-3
+    np.testing.assert_allclose(np.asarray(grad[0], dtype=np.float32),
+                               np.full(4, 256 * 2e-3, np.float32), rtol=0.01)
+
+
+def test_bucket_similarity_f32_under_bf16(implicit_train):
+    from collie_tpu.models import ColdStartModel
+
+    buckets = np.zeros(implicit_train.num_items, dtype=int)
+    m = ColdStartModel(train=implicit_train, item_buckets=buckets,
+                       embedding_dim=8, embeddings_dtype='bfloat16', seed=0)
+    sims = m.item_bucket_item_similarity(0)
+    assert sims.to_numpy().dtype == np.float32
+    assert np.isfinite(sims.to_numpy()).all()

@@ -295,3 +295,16 @@ def test_hdf5_empty_store_infer_raises(tmp_path):
                            maxshape=(None,), chunks=True)
     with pytest.raises(ValueError, match='empty HDF5 store'):
         HDF5Interactions(hdf5_path=path)
+
+
+def test_hdf5_head_includes_columns_added_by_append(tmp_path, df):
+    """An append that introduces a new column extends column_order; the
+    head/tail views must never silently drop a dataset."""
+    from collie_tpu.data import HDF5Interactions
+
+    path = str(tmp_path / 'grow.h5')
+    pandas_df_to_hdf5(df[['user_id', 'item_id']], path)
+    pandas_df_to_hdf5(df[['user_id', 'item_id', 'rating']], path)
+    inter = HDF5Interactions(hdf5_path=path, num_users=3, num_items=4)
+    head = inter.head(2)
+    assert list(head.columns) == ['user_id', 'item_id', 'rating']
