@@ -31,7 +31,18 @@ def make_mesh(data: Optional[int] = None,
     """Build a ``(data, model)`` mesh over the available devices.
 
     ``data=None`` uses all remaining devices on the data axis.
+
+    On TPU the device grid is laid out with
+    ``jax.experimental.mesh_utils.create_device_mesh``, which orders devices
+    so mesh neighbors are ICI (torus) neighbors — the ``model`` axis (the
+    collective-heavy one: psum/all-gather of sharded-table lookups every
+    step) rides nearest-neighbor links instead of whatever order the runtime
+    enumerated the chips in.  Multi-host processes (``jax.distributed``
+    initialized) see the same global device list from ``jax.devices()``, so
+    the identical call builds the pod-wide mesh; put ``model`` within a host
+    (ICI) and let ``data`` span hosts (DCN) — see docs/ARCHITECTURE.md.
     """
+    explicit_devices = devices is not None
     if devices is None:
         devices = jax.devices()
     n = len(devices)
@@ -41,5 +52,15 @@ def make_mesh(data: Optional[int] = None,
     assert data * model == n, (
         f'mesh {data}x{model} does not match {n} available devices'
     )
-    dev_array = np.asarray(devices).reshape(data, model)
+    if not explicit_devices and devices and devices[0].platform == 'tpu':
+        try:
+            from jax.experimental import mesh_utils
+            dev_array = mesh_utils.create_device_mesh((data, model),
+                                                      devices=devices)
+        except Exception:
+            # unknown topologies (e.g. single chip over a tunnel) fall back
+            # to enumeration order — correct, just not locality-optimized
+            dev_array = np.asarray(devices).reshape(data, model)
+    else:
+        dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
