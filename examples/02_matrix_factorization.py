@@ -8,6 +8,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _scale import cap_interactions_df, epochs
+
 from collie_tpu.cross_validation import stratified_split
 from collie_tpu.interactions import Interactions
 from collie_tpu.metrics import auc, evaluate_in_batches, mapk, mrr
@@ -18,7 +20,7 @@ from collie_tpu.utils import convert_to_implicit
 
 
 def main():
-    df = convert_to_implicit(read_movielens_df(synthetic_fallback=True))
+    df = cap_interactions_df(convert_to_implicit(read_movielens_df(synthetic_fallback=True)))
     interactions = Interactions(users=df['user_id'].values, items=df['item_id'].values,
                                 allow_missing_ids=True)
     train, test = stratified_split(interactions, test_p=0.2, seed=42)
@@ -27,7 +29,7 @@ def main():
                                      embedding_dim=10,
                                      lr=1e-1,
                                      loss='adaptive')
-    trainer = CollieTrainer(model, max_epochs=10)
+    trainer = CollieTrainer(model, max_epochs=epochs(10))
     trainer.fit(model)
 
     mapk_score, mrr_score, auc_score = evaluate_in_batches([mapk, mrr, auc], test, model)

@@ -10,6 +10,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _scale import cap_interactions_df, epochs
+
 from collie_tpu.cross_validation import stratified_split
 from collie_tpu.interactions import Interactions
 from collie_tpu.metrics import auc, evaluate_in_batches, mapk
@@ -20,7 +22,7 @@ from collie_tpu.utils import convert_to_implicit
 
 
 def main():
-    df = convert_to_implicit(read_movielens_df(synthetic_fallback=True))
+    df = cap_interactions_df(convert_to_implicit(read_movielens_df(synthetic_fallback=True)))
     interactions = Interactions(users=df['user_id'].values, items=df['item_id'].values,
                                 allow_missing_ids=True, num_items=1682)
     train, test = stratified_split(interactions, test_p=0.2, seed=42)
@@ -38,7 +40,7 @@ def main():
     ]:
         model = MatrixFactorizationModel(train=train, embedding_dim=10, lr=1e-1,
                                          loss='adaptive', **kwargs)
-        trainer = CollieTrainer(model, max_epochs=10, verbosity=0)
+        trainer = CollieTrainer(model, max_epochs=epochs(10), verbosity=0)
         trainer.fit(model)
         mapk_score, auc_score = evaluate_in_batches([mapk, auc], test, model,
                                                     verbose=False)

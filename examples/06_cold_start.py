@@ -9,6 +9,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _scale import cap_interactions_df, epochs, scaled
+
 from collie_tpu.cross_validation import stratified_split
 from collie_tpu.interactions import Interactions
 from collie_tpu.metrics import auc, evaluate_in_batches, mapk
@@ -19,7 +21,7 @@ from collie_tpu.utils import convert_to_implicit
 
 
 def main():
-    df = convert_to_implicit(read_movielens_df(synthetic_fallback=True))
+    df = cap_interactions_df(convert_to_implicit(read_movielens_df(synthetic_fallback=True)))
     interactions = Interactions(users=df['user_id'].values, items=df['item_id'].values,
                                 allow_missing_ids=True, num_items=1682)
     train, test = stratified_split(interactions, test_p=0.2, seed=42)
@@ -32,13 +34,13 @@ def main():
     model = ColdStartModel(train=train, item_buckets=item_buckets,
                            embedding_dim=30, item_buckets_stage_lr=1e-1,
                            no_buckets_stage_lr=1e-2, loss='adaptive')
-    trainer = CollieTrainer(model, max_epochs=5, verbosity=0)
+    trainer = CollieTrainer(model, max_epochs=epochs(5), verbosity=0)
     trainer.fit(model)                 # stage: item_buckets
     print('bucket-stage AUC =',
           round(evaluate_in_batches([auc], test, model, verbose=False), 5))
 
     model.advance_stage()              # bucket embeddings copied into item tables
-    trainer.max_epochs += 10
+    trainer.max_epochs += scaled(10, 1)
     trainer.fit(model)                 # stage: no_buckets
     mapk_score, auc_score = evaluate_in_batches([mapk, auc], test, model,
                                                 verbose=False)

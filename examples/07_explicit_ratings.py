@@ -8,6 +8,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _scale import cap_interactions_df, epochs
+
 from collie_tpu.cross_validation import stratified_split
 from collie_tpu.interactions import ExplicitInteractions
 from collie_tpu.metrics import explicit_evaluate_in_batches
@@ -16,7 +18,7 @@ from collie_tpu.movielens import read_movielens_df
 
 
 def main():
-    df = read_movielens_df(synthetic_fallback=True)
+    df = cap_interactions_df(read_movielens_df(synthetic_fallback=True))
     interactions = ExplicitInteractions(users=df['user_id'].values,
                                         items=df['item_id'].values,
                                         ratings=df['rating'].values,
@@ -28,7 +30,7 @@ def main():
                                      lr=1e-2,
                                      loss='mse',
                                      y_range=(1, 5))
-    trainer = CollieTrainer(model, max_epochs=10)
+    trainer = CollieTrainer(model, max_epochs=epochs(10))
     trainer.fit(model)
 
     mse, mae = explicit_evaluate_in_batches(['mse', 'mae'], test, model)

@@ -14,6 +14,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _scale import epochs, scaled
+
 import jax
 
 from collie_tpu.cross_validation import stratified_split
@@ -33,13 +35,14 @@ def main():
 
     # table sizes divisible by the model axis so rows shard evenly
     interactions = generate_implicit_interactions(num_users=512, num_items=1024,
-                                                  num_interactions=40_000, seed=0)
+                                                  num_interactions=scaled(40_000, 8_000),
+                                                  seed=0)
     train, test = stratified_split(interactions, test_p=0.2, seed=0,
                                    force_split=True)
 
     model = MatrixFactorizationModel(train=train, embedding_dim=32, lr=1e-1,
                                      loss='adaptive', seed=0)
-    trainer = CollieTrainer(model, max_epochs=5, verbosity=1, mesh=mesh, seed=0)
+    trainer = CollieTrainer(model, max_epochs=epochs(5), verbosity=1, mesh=mesh, seed=0)
     trainer.fit(model)
 
     mapk_score, auc_score = evaluate_in_batches([mapk, auc], test, model,

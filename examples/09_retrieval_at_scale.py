@@ -14,6 +14,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _scale import scaled
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,13 +23,13 @@ import numpy as np
 
 def main():
     rng = np.random.default_rng(0)
-    B, D, I, k = 64, 64, 500_000, 10
+    B, D, I, k = 64, 64, scaled(500_000, 16_384), 10
     user_emb = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
     user_bias = jnp.asarray(rng.standard_normal(B).astype(np.float32))
     item_emb = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
     item_bias = jnp.asarray(rng.standard_normal(I).astype(np.float32))
 
-    def timeit(label, fn, reps=10):
+    def timeit(label, fn, reps=scaled(10, 2)):
         out = fn()
         jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
         times = []
