@@ -10,6 +10,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+import _scale  # noqa: F401  (config-level platform override under smoke CI)
+
 from collie_tpu.cross_validation import stratified_split
 from collie_tpu.interactions import Interactions
 from collie_tpu.movielens import read_movielens_df

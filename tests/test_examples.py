@@ -15,6 +15,7 @@ from pathlib import Path
 import pytest
 
 EXAMPLES = sorted((Path(__file__).parent.parent / 'examples').glob('[0-9]*.py'))
+assert EXAMPLES, 'no example scripts found — did examples/ move?'
 
 
 def _smoke_env():
