@@ -171,12 +171,25 @@ def _fused_evaluate(metric_list, test_users, targets, model, k: int,
 
         cache[key] = jax.jit(eval_fn)
 
+    if mesh is not None:
+        # upload pre-sharded over the data axis; multi-process, each host
+        # feeds only its addressable user slice (per-process feeding)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from collie_tpu.parallel.distributed import put_global
+        from collie_tpu.parallel.mesh import DATA_AXIS
+
+        def _up(x, ndim):
+            spec = P(None, DATA_AXIS, *([None] * (ndim - 2)))
+            return put_global(x, NamedSharding(mesh, spec))
+    else:
+        def _up(x, ndim):
+            return jnp.asarray(x)
     totals = np.asarray(cache[key](
         model.params,
-        jnp.asarray(users_padded.astype(np.int32).reshape(S, batch_size)),
-        jnp.asarray(pos_items.reshape(S, batch_size, D)),
-        jnp.asarray(pos_mask.reshape(S, batch_size, D)),
-        jnp.asarray(user_mask.reshape(S, batch_size)),
+        _up(users_padded.astype(np.int32).reshape(S, batch_size), 2),
+        _up(pos_items.reshape(S, batch_size, D), 3),
+        _up(pos_mask.reshape(S, batch_size, D), 3),
+        _up(user_mask.reshape(S, batch_size), 2),
     ))
     return [float(totals[metric_row[m]]) / U for m in metric_list]
 

@@ -45,9 +45,10 @@ def param_shardings(params: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, Nam
 
 
 def shard_params(params: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarray]:
+    from collie_tpu.parallel.distributed import put_global
     shardings = param_shardings(params, mesh)
     return {
-        name: jax.device_put(value, shardings[name]) for name, value in params.items()
+        name: put_global(value, shardings[name]) for name, value in params.items()
     }
 
 
@@ -63,9 +64,56 @@ def shard_batch_fn(mesh: Mesh):
     return _shard
 
 
-def init_sharded_opt_states(specs, params: Dict[str, jnp.ndarray]) -> Tuple[Any, ...]:
-    """Initialize each spec's optax state under jit so moments inherit the
-    (possibly sharded) layout of their params."""
+def make_sharded_init(transform, mesh: Mesh):
+    """Optimizer-state init whose outputs carry the params' shardings.
+
+    ``optax``'s ``init`` builds moments with ``zeros_like`` — shape-only, so
+    XLA sees the sharded params as unused operands and places every output
+    on the default device.  Forcing ``out_shardings`` pins each moment leaf
+    (matched to its param by dict key + shape) to its param's sharding and
+    everything else (counts, injected lr) replicated — required for moments
+    to genuinely shard, and for multi-process fits, where a process-local
+    state could not feed the global program at all.
+    """
+    from jax import tree_util as jtu
+
+    replicated = NamedSharding(mesh, P())
+    jitted = {}
+
+    def init(sub_params):
+        akey = tuple(sorted(
+            (k, v.shape, str(v.dtype), v.sharding)
+            for k, v in sub_params.items()))
+        if akey not in jitted:
+            shapes = jax.eval_shape(transform.init, sub_params)
+
+            def pick(path, aval):
+                key = None
+                for entry in reversed(path):
+                    if isinstance(entry, jtu.DictKey):
+                        key = entry.key
+                        break
+                if key in sub_params and aval.shape == sub_params[key].shape:
+                    return sub_params[key].sharding
+                return replicated
+
+            out_shardings = jtu.tree_map_with_path(pick, shapes)
+            jitted[akey] = jax.jit(transform.init, out_shardings=out_shardings)
+        return jitted[akey](sub_params)
+
+    return init
+
+
+def init_sharded_opt_states(specs, params: Dict[str, jnp.ndarray],
+                            mesh: Mesh = None) -> Tuple[Any, ...]:
+    """Initialize each spec's optax state so moments inherit the (possibly
+    sharded) layout of their params."""
+    if mesh is not None:
+        return tuple(
+            make_sharded_init(spec.transform, mesh)(
+                {k: params[k] for k in spec.keys})
+            for spec in specs
+        )
     return tuple(
         jax.jit(spec.transform.init)({k: params[k] for k in spec.keys})
         for spec in specs

@@ -136,15 +136,22 @@ def set_lr(opt_state, new_lr: float):
     weak_type) as the original — an aval mismatch would silently retrigger a
     full recompile of the epoch program on the next step.
     """
+    import jax
     import jax.numpy as jnp
 
     hp = _find_hyperparams(opt_state)
     hp_new = dict(hp)
-    old = jnp.asarray(hp['learning_rate'])
-    if getattr(old, 'weak_type', False):
-        new = jnp.asarray(float(new_lr))           # weakly-typed, like the original
+    old = hp['learning_rate']
+    if isinstance(old, jax.Array) and jax.process_count() > 1:
+        # multi-process: the new leaf must be a GLOBAL array with the old
+        # one's sharding/aval; compute it on device from the old leaf
+        new = jax.jit(lambda r: r * 0 + float(new_lr))(old)
     else:
-        new = jnp.asarray(new_lr, dtype=old.dtype)
+        old = jnp.asarray(old)
+        if getattr(old, 'weak_type', False):
+            new = jnp.asarray(float(new_lr))       # weakly-typed, like the original
+        else:
+            new = jnp.asarray(new_lr, dtype=old.dtype)
     hp_new['learning_rate'] = new
     return opt_state._replace(hyperparams=hp_new)
 
@@ -176,6 +183,28 @@ def match_lr_aval(opt_state, reference_opt_state):
     hp_new = dict(hp)
     hp_new['learning_rate'] = new
     return opt_state._replace(hyperparams=hp_new)
+
+
+def adopt_lr_aval(opt_state, reference_opt_state):
+    """``match_lr_aval`` for global (possibly multi-process) states.
+
+    The replacement lr leaf is computed ON DEVICE from the reference leaf
+    (``ref * 0 + value``), so it inherits the fresh leaf's aval — dtype AND
+    weak_type — and its (global, replicated) sharding.  Host-side
+    ``jnp.asarray`` would produce a process-local array a global-mesh
+    program cannot consume.
+    """
+    import jax
+
+    try:
+        hp = _find_hyperparams(opt_state)
+        ref = _find_hyperparams(reference_opt_state)
+    except ValueError:
+        return opt_state
+    value = float(jax.device_get(hp['learning_rate']))
+    new = jax.jit(lambda r: r * 0 + value)(ref['learning_rate'])
+    return opt_state._replace(
+        hyperparams={**hp, 'learning_rate': new})
 
 
 def _find_hyperparams(opt_state):

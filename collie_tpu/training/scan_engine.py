@@ -228,15 +228,40 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
     # epoch data is passed to the jitted epoch fn as ARGUMENTS (bundled in
     # ``data``), never captured by closure: closure-captured device arrays
     # become embedded HLO constants, which bloats compiles (megabytes of
-    # constants for large datasets) and defeats the persistent compile cache
+    # constants for large datasets) and defeats the persistent compile cache.
+    # Under a mesh the flat interaction arrays upload sharded over the
+    # ``data`` axis (padded to divisibility — the in-jit gathers only touch
+    # indices < n) and the sampler tables replicated; multi-process, each
+    # host then feeds ONLY its addressable shards (per-process feeding via
+    # jax.make_array_from_callback — see parallel/distributed.py), the
+    # multi-host answer to the reference's Lightning-DDP delegation
+    # (``/root/reference/collie/model/base/trainer.py:71-79``).
+    if mesh is not None:
+        from collie_tpu.parallel.distributed import (put_epoch_array,
+                                                     put_replicated)
+        from collie_tpu.parallel.mesh import DATA_AXIS as _DA
+        _n_data = mesh.shape[_DA]
+        _flat_pad = (-n) % _n_data
+
+        def _put_epoch(x):
+            x = np.asarray(x)
+            if _flat_pad and x.ndim == 1 and x.shape[0] == n:
+                x = np.concatenate([x, np.zeros(_flat_pad, x.dtype)])
+            return put_epoch_array(x, mesh)
+
+        def _put_table(x):
+            return put_replicated(np.asarray(x), mesh)
+    else:
+        _put_epoch = _put_table = jnp.asarray
     data = {
-        'rows': jnp.asarray(inter.mat.row.astype(np.int32)),
-        'cols': jnp.asarray(inter.mat.col.astype(np.int32)),
-        'mask_flat': jnp.concatenate([
-            jnp.ones(n_used, dtype=jnp.float32), jnp.zeros(pad, dtype=jnp.float32)]),
+        'rows': _put_epoch(inter.mat.row.astype(np.int32)),
+        'cols': _put_epoch(inter.mat.col.astype(np.int32)),
+        'mask_flat': _put_epoch(np.concatenate([
+            np.ones(n_used, dtype=np.float32),
+            np.zeros(pad, dtype=np.float32)])),
     }
     if explicit:
-        data['ratings'] = jnp.asarray(inter.mat.data.astype(np.float32))
+        data['ratings'] = _put_epoch(inter.mat.data.astype(np.float32))
     else:
         exact = inter.exact_negative_sampling
         K = inter.num_negative_samples
@@ -259,17 +284,17 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                 specs_np, counts_np, _ = build_bucketed_complement_tables(
                     inter.mat, inter.mat.row)
                 data['bucket_specs'] = tuple(
-                    (jnp.asarray(e), jnp.asarray(r), jnp.asarray(t))
+                    (_put_table(e), _put_table(r), _put_table(t))
                     for e, r, t in specs_np)
-                data['row_counts'] = jnp.asarray(counts_np)
+                data['row_counts'] = _put_table(counts_np)
             elif kind == 'padded':
                 pad_np, counts_np = build_padded_complement_table(inter.mat)
-                data['shifted_pad'] = jnp.asarray(pad_np)
-                data['row_counts'] = jnp.asarray(counts_np)
+                data['shifted_pad'] = _put_table(pad_np)
+                data['row_counts'] = _put_table(counts_np)
             else:
                 indptr_np, shifted_np = build_complement_tables(inter.mat)
-                data['indptr'] = jnp.asarray(indptr_np)
-                data['shifted_cols'] = jnp.asarray(shifted_np)
+                data['indptr'] = _put_table(indptr_np)
+                data['shifted_cols'] = _put_table(shifted_np)
 
     data_spec = None
     if mesh is not None:

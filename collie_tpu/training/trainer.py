@@ -66,6 +66,7 @@ class CollieTrainer:
                  checkpoint_dir: Optional[str] = None,
                  checkpoint_every_n_epochs: int = 1,
                  exact_sampling_dedup_rounds: int = 1,
+                 enable_model_summary: bool = True,
                  seed: Optional[int] = None):
         if model is not None and getattr(model, 'val_loader', None) is None and verbosity > 0:
             # reference auto-disables the sanity val check when no val data
@@ -89,6 +90,7 @@ class CollieTrainer:
         self.num_epochs_completed = 0
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every_n_epochs = checkpoint_every_n_epochs
+        self.enable_model_summary = enable_model_summary
         # quality/speed knob for on-device exact sampling: 1 (default, the
         # calibrated-gate configuration) de-duplicates within-row draws once;
         # 0 skips it for ~26% higher train throughput at ~0.6% MAP@10
@@ -104,15 +106,26 @@ class CollieTrainer:
         from pathlib import Path
 
         Path(self.checkpoint_dir).mkdir(parents=True, exist_ok=True)
-        host = jax.tree_util.tree_map(np.asarray, (dict(params), opt_states))
-        payload = {
-            'params': host[0],
-            'opt_states': host[1],
+        host_payload = {
             'schedulers': schedulers,
             'epoch': epoch,
             'global_step': self.global_step,
             'best_epoch_loss': self.best_epoch_loss,
         }
+        if self.mesh is not None or jax.process_count() > 1:
+            # per-shard format: each process writes only the shards its
+            # devices own — a checkpoint of a sharded fit never materializes
+            # a full table on any host (see parallel/checkpoint.py)
+            from collie_tpu.parallel.checkpoint import save_sharded_pytree
+            path = Path(self.checkpoint_dir) / f'checkpoint_epoch_{epoch}.shards'
+            save_sharded_pytree(
+                path, {'params': dict(params), 'opt_states': opt_states},
+                host_payload)
+            if self.verbosity > 1:
+                print(f'  checkpoint -> {path}')
+            return
+        host = jax.tree_util.tree_map(np.asarray, (dict(params), opt_states))
+        payload = {'params': host[0], 'opt_states': host[1], **host_payload}
         path = Path(self.checkpoint_dir) / f'checkpoint_epoch_{epoch}.pkl'
         tmp = path.with_suffix('.tmp')
         with open(tmp, 'wb') as f:
@@ -125,9 +138,18 @@ class CollieTrainer:
         """Arm the next ``fit`` call to restore full training state
         (parameters, optimizer moments + learning rates, scheduler and
         early-stopping state, epoch/step counters).  Returns the checkpoint's
-        epoch."""
+        epoch.  Accepts both the host-pickle format and per-shard checkpoint
+        directories (``*.shards``, written for mesh/multi-process fits —
+        those load lazily at ``fit`` time, each process reading only its own
+        shards)."""
         import pickle
 
+        from collie_tpu.parallel.checkpoint import is_sharded_checkpoint
+        if is_sharded_checkpoint(path):
+            with open(f'{path}/meta.pkl', 'rb') as f:
+                epoch = pickle.load(f)['host_payload']['epoch']
+            self._pending_resume = {'sharded_path': path, 'epoch': epoch}
+            return epoch
         with open(path, 'rb') as f:
             self._pending_resume = pickle.load(f)
         return self._pending_resume['epoch']
@@ -135,11 +157,22 @@ class CollieTrainer:
     # ------------------------------------------------------------------- fit
 
     def fit(self, model) -> None:
+        if jax.process_count() > 1:
+            # multi-process (multi-host) fit: every process runs this same
+            # loop; epoch data is fed per-process (scan_engine), programs run
+            # on the global mesh, and only process 0 narrates
+            if self.mesh is None:
+                raise ValueError(
+                    'multi-process training requires a mesh spanning all '
+                    'processes (collie_tpu.parallel.make_mesh()).')
+            if jax.process_index() != 0:
+                self.verbosity = 0
         specs = model.optimizer_specs()
         stage = model.current_stage
         active = [spec.stage is None or spec.stage == stage for spec in specs]
 
         params = dict(model.params)
+        self._pre_fit_report(model, params, specs, active)
 
         from collie_tpu.training.scan_engine import build_scan_epoch_fns, loader_is_scannable
         use_scan_train = (self.epoch_mode != 'step'
@@ -151,6 +184,13 @@ class CollieTrainer:
                 'epoch_mode="scan" requires an in-memory InteractionsDataLoader '
                 '(HDF5/out-of-core and custom loaders must use the per-step path).'
             )
+        if jax.process_count() > 1 and (
+                not use_scan_train
+                or (model.val_loader is not None and not use_scan_val)):
+            raise ValueError(
+                'multi-process training supports in-memory '
+                'InteractionsDataLoaders only (the whole-epoch scan path); '
+                'HDF5/out-of-core loaders are single-process.')
 
         train_step = val_step = train_chunk = None
         train_epoch_fn = val_epoch_fn = None
@@ -241,18 +281,50 @@ class CollieTrainer:
         # mismatched state trees
         key = ('init', stage, mesh_key, loss_fp)
         if key not in cache:
-            cache[key] = [jax.jit(spec.transform.init) for spec in specs]
+            if self.mesh is not None:
+                # pin moment shardings to their params' (see make_sharded_init
+                # — plain jit places zeros_like outputs on the default device)
+                from collie_tpu.parallel.sharding import make_sharded_init
+                cache[key] = [make_sharded_init(spec.transform, self.mesh)
+                              for spec in specs]
+            else:
+                cache[key] = [jax.jit(spec.transform.init) for spec in specs]
         opt_states = tuple(
             init_fn({k: params[k] for k in spec.keys})
             for init_fn, spec in zip(cache[key], specs)
         )
 
         base_rng = jax.random.PRNGKey(self.seed)
+        if jax.process_count() > 1:
+            # pass the key as host numpy so every process's jit call uploads
+            # an identical replicated value (a committed process-local device
+            # array cannot feed a global-mesh program)
+            base_rng = np.asarray(base_rng)
 
         schedulers = [resolve_scheduler(model.lr_scheduler_func) for _ in specs]
         monitor_val = model.val_loader is not None
 
-        if self._pending_resume is not None:
+        if self._pending_resume is not None and \
+                'sharded_path' in self._pending_resume:
+            # per-shard checkpoint: rebuild global arrays under the FRESH
+            # state's shardings; each process reads only its own shards
+            from collie_tpu.parallel.checkpoint import load_sharded_pytree
+            path = self._pending_resume['sharded_path']
+            self._pending_resume = None
+            template = jax.tree_util.tree_map(
+                lambda x: x.sharding if isinstance(x, jax.Array) else None,
+                {'params': params, 'opt_states': opt_states})
+            tree, host_payload = load_sharded_pytree(path, template)
+            from collie_tpu.training.optimizers import adopt_lr_aval
+            params = tree['params']
+            opt_states = tuple(
+                adopt_lr_aval(restored, fresh)
+                for restored, fresh in zip(tree['opt_states'], opt_states))
+            schedulers = host_payload['schedulers']
+            model.hparams['num_epochs_completed'] = host_payload['epoch']
+            self.global_step = host_payload['global_step']
+            self.best_epoch_loss = host_payload['best_epoch_loss']
+        elif self._pending_resume is not None:
             # full-training-state resume (params + optimizer moments + lr +
             # scheduler/early-stopping state) — a capability beyond the
             # reference, whose checkpoints never include optimizer state
@@ -308,6 +380,45 @@ class CollieTrainer:
         fit_secs = time.perf_counter() - fit_start
         total_examples = state_box['total_examples']
         self.last_fit_examples_per_sec = total_examples / fit_secs if fit_secs > 0 else None
+
+    def _pre_fit_report(self, model, params, specs, active) -> None:
+        """Model summary + hyperparameter logging at fit start (reference
+        ``trainer.py:404-421``: Lightning ``ModelSummary`` print when
+        ``verbosity != 0`` and ``logger.log_hyperparams`` when a logger is
+        attached).  The summary here is the flat-param equivalent: name,
+        shape, dtype, parameter count, and whether the current stage's
+        optimizers train it."""
+        if self.verbosity > 0 and self.enable_model_summary:
+            trainable = set()
+            for spec, is_active in zip(specs, active):
+                if is_active:
+                    trainable.update(spec.keys)
+            rows = []
+            for name in sorted(params):
+                value = params[name]
+                n = int(np.prod(value.shape)) if value.shape else 1
+                rows.append((name, str(tuple(value.shape)),
+                             str(value.dtype), n,
+                             'train' if name in trainable else 'frozen'))
+            name_w = max([len(r[0]) for r in rows] + [4])
+            shape_w = max([len(r[1]) for r in rows] + [5])
+            print(f'  | {"Name":<{name_w}} | {"Shape":<{shape_w}} | '
+                  f'{"Dtype":<8} | {"Params":>10} | Mode')
+            for r in rows:
+                print(f'  | {r[0]:<{name_w}} | {r[1]:<{shape_w}} | '
+                      f'{r[2]:<8} | {r[3]:>10,} | {r[4]}')
+            total = sum(r[3] for r in rows)
+            n_train = sum(r[3] for r in rows if r[4] == 'train')
+            print(f'  {n_train:,} trainable params | '
+                  f'{total - n_train:,} frozen params | {total:,} total | '
+                  f'stage: {model.current_stage or "-"}')
+        if self.logger is not None:
+            log_hp = getattr(self.logger, 'log_hyperparams', None)
+            if callable(log_hp):
+                log_hp(dict(model.hparams))
+                save = getattr(self.logger, 'save', None)
+                if callable(save):
+                    save()
 
     def _whole_fit_eligible(self, use_scan_train, use_scan_val, monitor_val,
                             schedulers, opt_states) -> bool:

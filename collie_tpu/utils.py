@@ -11,7 +11,7 @@ import datetime
 import inspect
 import time
 from pathlib import Path
-from typing import Any, Dict, Iterable, Optional, Tuple, Union
+from typing import Any, Dict, Iterable, List, Optional, Tuple, Union
 
 import numpy as np
 import pandas as pd
@@ -257,24 +257,94 @@ def merge_docstrings(base_class: type, subclass_doc: Optional[str], init: Any) -
         return subclass_doc
 
     try:
-        sig_params = set(inspect.signature(init).parameters) - {'self', 'kwargs', 'args'}
+        sig = inspect.signature(init)
     except (TypeError, ValueError):
         return subclass_doc
+    # a subclass accepting **kwargs forwards every base parameter, so all of
+    # the base's documented params merge (reference behavior: kwargs children
+    # inherit the full parameter table, ``tests/test_docstring.py:356-443``)
+    has_var_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                     for p in sig.parameters.values())
+    sig_params = set(sig.parameters) - {'self', 'kwargs', 'args'}
 
     base_params = _parse_numpydoc_parameters(base_class.__init__.__doc__)
     sub_params = _parse_numpydoc_parameters(subclass_doc)
     missing = {
         name: text for name, text in base_params.items()
-        if name in sig_params and name not in sub_params
+        if name not in sub_params and not name.startswith('*')
+        and (name in sig_params or has_var_kw)
     }
     if not missing:
         return subclass_doc
+    return _insert_into_parameters_section(subclass_doc,
+                                           list(missing.values()))
 
-    addition = '\n'.join(text for text in missing.values())
-    if 'Parameters' in subclass_doc:
-        return subclass_doc.rstrip() + '\n' + addition + '\n'
-    header = '\n    Parameters\n    ----------\n'
-    return subclass_doc.rstrip() + header + addition + '\n'
+
+def _insert_into_parameters_section(doc: str, blocks: List[str]) -> str:
+    """Insert parameter text blocks at the END of ``doc``'s numpydoc
+    Parameters section — before any ``*args``/``**kwargs`` entries (those
+    stay last, reference convention) and before any subsequent section
+    (``Returns``/``References``/...).  Creates the section when absent.
+    Blocks are re-indented to the section's parameter indentation."""
+    lines = doc.split('\n')
+    n = len(lines)
+    start = None
+    for idx in range(n - 1):
+        nxt = lines[idx + 1].strip()
+        if lines[idx].strip() == 'Parameters' and nxt and set(nxt) == {'-'}:
+            start = idx + 2
+            break
+
+    def _reindent(block: str, target: int) -> str:
+        first = block.split('\n')[0]
+        have = len(first) - len(first.lstrip())
+        delta = target - have
+        if delta == 0:
+            return block
+        out = []
+        for ln in block.split('\n'):
+            if not ln.strip():
+                out.append(ln)
+            elif delta > 0:
+                out.append(' ' * delta + ln)
+            else:
+                cur = len(ln) - len(ln.lstrip())
+                out.append(ln[min(-delta, cur):])
+        return '\n'.join(out)
+
+    if start is None:
+        addition = '\n'.join(_reindent(b, 4) for b in blocks)
+        header = '\n    Parameters\n    ----------\n'
+        return doc.rstrip() + header + addition + '\n'
+
+    param_indent = None
+    insert_at = start
+    star_at = None
+    idx = start
+    while idx < n:
+        stripped = lines[idx].strip()
+        if not stripped:
+            idx += 1
+            continue
+        nxt = lines[idx + 1].strip() if idx + 1 < n else ''
+        if nxt and set(nxt) == {'-'}:
+            break                        # next section header reached
+        indent = len(lines[idx]) - len(lines[idx].lstrip())
+        if param_indent is None:
+            param_indent = indent
+        if indent < param_indent:
+            break                        # dedent: section body over
+        if indent == param_indent and stripped.startswith('*') \
+                and star_at is None:
+            star_at = idx
+        insert_at = idx + 1
+        idx += 1
+
+    pos = star_at if star_at is not None else insert_at
+    addition = [_reindent(b, param_indent if param_indent is not None else 4)
+                for b in blocks]
+    new_lines = lines[:pos] + '\n'.join(addition).split('\n') + lines[pos:]
+    return '\n'.join(new_lines)
 
 
 def _parse_numpydoc_parameters(doc: str) -> Dict[str, str]:
