@@ -194,6 +194,42 @@ def _fused_evaluate(metric_list, test_users, targets, model, k: int,
     return [float(totals[metric_row[m]]) / U for m in metric_list]
 
 
+def _sharded_eval_param_kinds(model, mesh) -> Optional[dict]:
+    """Classify params for the zero-table-allgather eval fast path.
+
+    Returns ``{name: 'user' | 'item' | 'replicated'}`` when the model's
+    scoring reads params only through user-id / item-id gathers
+    (``model._sharded_eval_localizable()``) and every user/item-leading leaf
+    row-shards cleanly over the ``model`` axis; None → the generic
+    replicated-params path (which all-gathers the tables once per dispatch).
+    """
+    from collie_tpu.parallel.mesh import MODEL_AXIS
+    from collie_tpu.parallel.sharding import param_spec
+
+    if not getattr(model, '_sharded_eval_localizable', lambda: False)():
+        return None
+    num_users = model.hparams['num_users']
+    num_items = model.hparams['num_items']
+    n_model = mesh.shape[MODEL_AXIS]
+    if num_users == num_items:          # leading-dim kind would be ambiguous
+        return None
+    if num_users % n_model or num_items % n_model:
+        return None
+    kinds = {}
+    for name, value in model.params.items():
+        lead = value.shape[0] if value.ndim else None
+        if lead == num_users:
+            kinds[name] = 'user'
+        elif lead == num_items:
+            kinds[name] = 'item'
+        else:
+            kinds[name] = 'replicated'
+        if kinds[name] != 'replicated' and \
+                MODEL_AXIS not in (param_spec(name, value, mesh) or ()):
+            return None                 # a table leaf would not be sharded
+    return kinds
+
+
 def _build_sharded_eval_fn(model, k: int, num_items: int, mesh):
     """Item- and user-sharded fused evaluation program (SP analog).
 
@@ -204,14 +240,26 @@ def _build_sharded_eval_fn(model, k: int, num_items: int, mesh):
     at the end.  Values are bit-identical to the single-device evaluator
     (verified in tests/test_parallel.py) because the counts are exact
     integers merged exactly.
+
+    Params enter the shard_map in their REAL shardings when the model
+    supports it (``_sharded_eval_param_kinds``): item-leading leaves are used
+    as local item spans, user rows are fetched with the explicit
+    masked-local-gather + psum all-to-all (``parallel/embedding.py``'s
+    schedule) — per-dispatch communication is O(batch x dim), never
+    O(table), guarded at 131k-row scale by ``tests/test_parallel_scale.py``.
+    Models whose score reads item-indexed constants (hybrids; cold-start in
+    the bucket stage) fall back to replicated params.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from collie_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from collie_tpu.parallel.sharding import param_spec
 
     n_model = mesh.shape[MODEL_AXIS]
     span = -(-num_items // n_model)
     neg_inf = jnp.finfo(jnp.float32).min
+    kinds = _sharded_eval_param_kinds(model, mesh)
+    num_users = model.hparams['num_users']
 
     def sharded_body(params, users_blocks, pos_blocks, pos_mask_blocks,
                      mask_blocks):
@@ -220,10 +268,36 @@ def _build_sharded_eval_fn(model, k: int, num_items: int, mesh):
         item_ids = start + jnp.arange(span, dtype=jnp.int32)
         valid_items = item_ids < num_items
 
+        if kinds is not None:
+            rows_u = num_users // n_model
+            u_start = shard * rows_u
+
+            def gather_user_leaf(leaf, ids):
+                local = ids - u_start
+                ok = (local >= 0) & (local < rows_u)
+                safe = jnp.clip(local, 0, rows_u - 1)
+                rows = jnp.take(leaf, safe, axis=0)
+                mask_shape = (len(ids),) + (1,) * (rows.ndim - 1)
+                rows = jnp.where(ok.reshape(mask_shape), rows, 0)
+                return jax.lax.psum(rows, MODEL_AXIS)
+
         def block(carry, xs):
             users, pos_b, pos_mask_b, mask = xs
-            scores = model.score_item_block(
-                params, users, jnp.minimum(item_ids, num_items - 1))
+            if kinds is None:
+                scores = model.score_item_block(
+                    params, users, jnp.minimum(item_ids, num_items - 1))
+            else:
+                # localized view: user rows all-to-all'd to [B_local, ...]
+                # pseudo-tables, item leaves already ARE the local span
+                view = {}
+                for name, leaf in params.items():
+                    if kinds[name] == 'user':
+                        view[name] = gather_user_leaf(leaf, users)
+                    else:
+                        view[name] = leaf
+                local_users = jnp.arange(users.shape[0], dtype=jnp.int32)
+                local_items = jnp.arange(span, dtype=jnp.int32)
+                scores = model.score_item_block(view, local_users, local_items)
             scores = jnp.where(valid_items[None, :], scores, neg_inf)
             pos_scores = jax.lax.psum(
                 metrics_lib.positive_scores_in_block(scores, pos_b, start),
@@ -241,10 +315,16 @@ def _build_sharded_eval_fn(model, k: int, num_items: int, mesh):
             (users_blocks, pos_blocks, pos_mask_blocks, mask_blocks))
         return jax.lax.psum(totals, DATA_AXIS)
 
+    if kinds is None:
+        params_spec = P()
+    else:
+        params_spec = {name: param_spec(name, value, mesh)
+                       for name, value in model.params.items()}
+
     def eval_fn(params, users_blocks, pos_blocks, pos_mask_blocks, mask_blocks):
         return shard_map(
             sharded_body, mesh=mesh,
-            in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS, None),
+            in_specs=(params_spec, P(None, DATA_AXIS), P(None, DATA_AXIS, None),
                       P(None, DATA_AXIS, None), P(None, DATA_AXIS)),
             out_specs=P(),
             check_vma=False,

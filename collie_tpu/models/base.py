@@ -527,6 +527,15 @@ class BasePipeline:
         """Single-stage models have no stage; ``MultiStagePipeline`` overrides."""
         return None
 
+    def _sharded_eval_localizable(self) -> bool:
+        """True when scoring reads params ONLY through user-id gathers on
+        ``[num_users, ...]`` leaves and item-id gathers on ``[num_items, ...]``
+        leaves (no id-indexed constants) — enables the sharded evaluator's
+        zero-table-allgather fast path (``evaluate._build_sharded_eval_fn``).
+        Models that gather non-param arrays by id (hybrids' metadata,
+        cold-start's bucket map) override this."""
+        return True
+
     # ------------------------------------------------------------- inference
 
     def eval(self) -> 'BasePipeline':

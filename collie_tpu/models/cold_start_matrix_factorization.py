@@ -117,6 +117,11 @@ class ColdStartModel(MultiStagePipeline):
 
     __doc__ = merge_docstrings(MultiStagePipeline, __doc__, __init__)
 
+    def _sharded_eval_localizable(self) -> bool:
+        # the bucket stage maps item ids through the ``item_buckets``
+        # constant; only the final per-item stage is pure table gathers
+        return self.current_stage == 'no_buckets'
+
     def _load_model_init_helper(self, *args, **kwargs) -> None:
         super()._load_model_init_helper(*args, **kwargs)
         self._item_buckets_device = jnp.asarray(self.hparams['item_buckets'],

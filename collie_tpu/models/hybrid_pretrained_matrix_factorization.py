@@ -104,6 +104,10 @@ class HybridPretrainedModel(BasePipeline):
 
     __doc__ = merge_docstrings(BasePipeline, __doc__, __init__)
 
+    def _sharded_eval_localizable(self) -> bool:
+        # scoring gathers item/user METADATA (non-param arrays) by global id
+        return False
+
     def _setup_model(self, **kwargs) -> None:
         if kwargs.get('item_metadata') is not None:
             self.item_metadata = jnp.asarray(kwargs['item_metadata'])

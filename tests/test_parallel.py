@@ -159,10 +159,14 @@ def test_mesh_train_step_emits_no_table_sized_allgather(implicit_train):
     txt = fn.lower(params, opt_states, data, jax.random.PRNGKey(0),
                    np.int32(1)).compile().as_text()
 
+    # result shapes follow the '=' in HLO text ("%ag = f32[250,8]{1,0}
+    # all-gather(...)") — the detector pattern is negative-controlled in
+    # tests/test_parallel_scale.py, which also runs this guard at 131k rows
     table_shapes = (rf'f32\[{num_users},{dim}\]', rf'f32\[{num_items},{dim}\]')
+    pattern = re.compile(r'=\s*(?:\([^)]*\)\s*)?('
+                         + '|'.join(table_shapes) + r')\S*\s+all-gather')
     bad = [line.strip()[:160] for line in txt.splitlines()
-           if 'all-gather' in line
-           and any(re.search(s, line.split('=', 1)[0]) for s in table_shapes)]
+           if 'all-gather' in line and pattern.search(line)]
     assert not bad, f'table-sized all-gather in compiled mesh step: {bad}'
 
 
