@@ -42,23 +42,52 @@ BATCH = 1024
 K_NEG = 10
 K_EVAL = 10
 
+# --scale presets.  'ml10m' is the reference's flagship configuration
+# (``/root/reference/README.md:150-161``: MF dim 32 on MovieLens-10M) at full
+# synthetic scale; both stacks use APPROXIMATE negative sampling there —
+# identical treatment keeps the ratio meaningful, and exact rejection over
+# ~7M host-side positive keys is intractable for the torch twin.  Epoch count
+# is lower (quality RATIO at equal training budget, not absolute MAP).
+SCALES = {
+    'ml100k': dict(num_users=943, num_items=1682, interactions=100_000,
+                   dim=10, batch=1024, epochs=10, exact=True, trials=10,
+                   affinity_bias=0.0, out='parity_vs_torch.json'),
+    'ml10m': dict(num_users=72_000, num_items=10_000, interactions=10_000_000,
+                  dim=32, batch=8192, epochs=5, exact=False, trials=3,
+                  affinity_bias=3.0, out='parity_vs_torch_ml10m.json'),
+}
+CFG = SCALES['ml100k']
+
+
+def _apply_scale(name):
+    """Point the module globals at a scale preset (both processes call this)."""
+    global CFG, DIM, BATCH, EPOCHS
+    CFG = SCALES[name]
+    DIM, BATCH, EPOCHS = CFG['dim'], CFG['batch'], CFG['epochs']
+
 
 def build_split(seed=42):
     from collie_tpu.data import stratified_split
     from collie_tpu.data.synthetic import generate_implicit_interactions
 
-    inter = generate_implicit_interactions(num_users=943, num_items=1682,
-                                           num_interactions=100_000,
-                                           num_negative_samples=K_NEG, seed=seed)
+    inter = generate_implicit_interactions(num_users=CFG['num_users'],
+                                           num_items=CFG['num_items'],
+                                           num_interactions=CFG['interactions'],
+                                           num_negative_samples=K_NEG,
+                                           affinity_bias=CFG['affinity_bias'],
+                                           seed=seed)
     return stratified_split(inter, test_p=0.2, seed=seed, force_split=True)
 
 
 # --------------------------------------------------------------- torch stack
 
-def _exact_negatives(rng, users, num_items, pos_keys, K, rounds=10):
+def _exact_negatives(rng, users, num_items, pos_keys, K, rounds=None):
     """Reference exact-sampling semantics, vectorized: redraw any candidate
     colliding with the user's positives, bounded rounds, keep the last draw on
-    budget exhaustion (``datasets.py:404-424``)."""
+    budget exhaustion (``datasets.py:404-424``).  ``rounds=0`` (the ml10m
+    scale preset) is the reference's approximate mode — plain randint."""
+    if rounds is None:
+        rounds = 10 if CFG['exact'] else 0
     B = len(users)
     negs = rng.integers(0, num_items, size=(B, K))
     for _ in range(rounds):
@@ -129,8 +158,16 @@ def train_torch_reference(train, val, seed):
             opt.step()
             bias_opt.step()
         with torch.no_grad():
-            vneg = _exact_negatives(rng, vrows, num_items, val_pos_keys, K_NEG)
-            val_loss = float(adaptive_hinge(vrows, vcols, vneg))
+            # chunked val loss (whole-val in one forward is 20M score rows at
+            # the ml10m scale); composite losses average exactly under
+            # per-example weighting
+            tot, cnt = 0.0, 0
+            for start in range(0, len(vrows), BATCH):
+                vr, vc = vrows[start:start + BATCH], vcols[start:start + BATCH]
+                vneg = _exact_negatives(rng, vr, num_items, val_pos_keys, K_NEG)
+                tot += float(adaptive_hinge(vr, vc, vneg)) * len(vr)
+                cnt += len(vr)
+            val_loss = tot / cnt
         for sched in scheds:
             sched.step(val_loss)
 
@@ -141,33 +178,47 @@ def train_torch_reference(train, val, seed):
     return full  # [num_users, num_items] score matrix
 
 
-def eval_score_matrix(full_scores, val):
-    """Both stacks are scored by collie_tpu's own metric kernels."""
+def eval_score_matrix(full_scores, val, user_chunk=8192):
+    """Both stacks are scored by collie_tpu's own metric kernels.
+
+    Chunked over users: all three metrics are per-user means, so the weighted
+    average of chunk means is exact, and the ml10m preset's 72k x 10k score
+    matrix never needs a second resident copy on the CPU jax backend.
+    """
     from collie_tpu.ops import auc, mapk, mrr
 
     targets = val.mat.tocsr()
     users = np.unique(val.mat.row)
-    preds = full_scores[users]
-    return {
-        'mapk': float(mapk(targets=targets, user_ids=users, preds=preds, k=K_EVAL)),
-        'mrr': float(mrr(targets=targets, user_ids=users, preds=preds)),
-        'auc': float(auc(targets=targets, user_ids=users, preds=preds)),
-    }
+    sums = {'mapk': 0.0, 'mrr': 0.0, 'auc': 0.0}
+    for start in range(0, len(users), user_chunk):
+        u = users[start:start + user_chunk]
+        preds = full_scores[u]
+        w = len(u) / len(users)
+        sums['mapk'] += w * float(mapk(targets=targets, user_ids=u, preds=preds,
+                                       k=K_EVAL))
+        sums['mrr'] += w * float(mrr(targets=targets, user_ids=u, preds=preds))
+        sums['auc'] += w * float(auc(targets=targets, user_ids=u, preds=preds))
+    return sums
 
 
 # ----------------------------------------------------------------- jax stack
 
 def train_collie_tpu(train, val, seed):
-    from collie_tpu.data import InteractionsDataLoader
+    from collie_tpu.data import (ApproximateNegativeSamplingInteractionsDataLoader,
+                                 InteractionsDataLoader)
     from collie_tpu.evaluate import evaluate_in_batches
     from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
     from collie_tpu.ops import auc, mapk, mrr
     from collie_tpu.training.trainer import CollieTrainer
 
-    train_loader = InteractionsDataLoader(interactions=train, batch_size=BATCH,
-                                          shuffle=True, seed=seed)
-    val_loader = InteractionsDataLoader(interactions=val, batch_size=BATCH,
-                                        shuffle=False, seed=seed)
+    # sampling mode must match the torch twin's (exact rejection vs plain
+    # randint) or the ratio conflates trainer quality with sampler quality
+    loader_cls = (InteractionsDataLoader if CFG['exact']
+                  else ApproximateNegativeSamplingInteractionsDataLoader)
+    train_loader = loader_cls(interactions=train, batch_size=BATCH,
+                              shuffle=True, seed=seed)
+    val_loader = loader_cls(interactions=val, batch_size=BATCH,
+                            shuffle=False, seed=seed)
     model = MatrixFactorizationModel(train=train_loader, val=val_loader,
                                      embedding_dim=DIM, lr=LR,
                                      loss='adaptive', seed=seed)
@@ -202,10 +253,15 @@ def _torch_worker(trials: int, out_path: str):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--trials', type=int, default=10)
+    parser.add_argument('--scale', choices=sorted(SCALES), default='ml100k')
+    parser.add_argument('--trials', type=int, default=None,
+                        help='default: the scale preset''s trial count')
     parser.add_argument('--torch-worker', type=str, default=None,
                         help=argparse.SUPPRESS)
     args = parser.parse_args()
+    _apply_scale(args.scale)
+    if args.trials is None:
+        args.trials = CFG['trials']
 
     if args.torch_worker is not None:
         _torch_worker(args.trials, args.torch_worker)
@@ -217,7 +273,8 @@ def main():
     t0 = time.perf_counter()
     with tempfile.NamedTemporaryFile(suffix='.json') as tmp:
         subprocess.run([sys.executable, __file__, '--trials', str(args.trials),
-                        '--torch-worker', tmp.name], check=True)
+                        '--scale', args.scale, '--torch-worker', tmp.name],
+                       check=True)
         with open(tmp.name) as f:
             torch_runs = json.load(f)
     torch_secs = time.perf_counter() - t0
@@ -232,10 +289,15 @@ def main():
     jax_secs = time.perf_counter() - t1
 
     result = {
-        'config': {'dim': DIM, 'lr': LR, 'bias_lr': BIAS_LR, 'epochs': EPOCHS,
-                   'batch_size': BATCH, 'num_negative_samples': K_NEG,
-                   'k': K_EVAL, 'trials': args.trials,
-                   'dataset': 'synthetic ML-100K-shaped, stratified 80/20, split seed 42'},
+        'config': {'scale': args.scale, 'dim': DIM, 'lr': LR, 'bias_lr': BIAS_LR,
+                   'epochs': EPOCHS, 'batch_size': BATCH,
+                   'num_negative_samples': K_NEG, 'k': K_EVAL,
+                   'trials': args.trials,
+                   'sampling': 'exact' if CFG['exact'] else 'approximate',
+                   'dataset': f'synthetic {args.scale}-shaped '
+                              f'({CFG["num_users"]}x{CFG["num_items"]}, '
+                              f'{CFG["interactions"]:,} interactions), '
+                              'stratified 80/20, split seed 42'},
         'torch_secs': round(torch_secs, 1),
         'collie_tpu_secs': round(jax_secs, 1),
         'metrics': {},
@@ -260,7 +322,7 @@ def main():
         }
     result['all_pass'] = bool(all_pass)
 
-    out = Path(__file__).parent / 'parity_vs_torch.json'
+    out = Path(__file__).parent / CFG['out']
     with open(out, 'w') as f:
         json.dump(result, f, indent=2)
     print(json.dumps({k: v for k, v in result.items() if k != 'metrics'}))
