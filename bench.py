@@ -237,10 +237,16 @@ def main():
         'metric': 'mf_train_examples_per_sec',
         'value': round(ours['examples_per_sec'], 1),
         'unit': 'examples/sec',
-        'vs_baseline': round(ours['examples_per_sec'] / baseline_exact_eps, 3),
-        'baseline_torch_cpu_exact_examples_per_sec': round(baseline_exact_eps, 1),
+        # the headline ratio is the CONSERVATIVE one: against the reference's
+        # approximate-sampling fast path (its strongest configuration).  The
+        # default exact-sampling path's ratio is reported alongside — it is
+        # larger, but most of that gap is the reference's Python rejection
+        # sampler, not model compute.
+        'vs_baseline': round(ours['examples_per_sec'] / baseline_approx_eps, 3),
         'baseline_torch_cpu_approx_examples_per_sec': round(baseline_approx_eps, 1),
-        'vs_approx_baseline': round(ours['examples_per_sec'] / baseline_approx_eps, 3),
+        'baseline_torch_cpu_exact_examples_per_sec': round(baseline_exact_eps, 1),
+        'vs_exact_sampling_baseline': round(
+            ours['examples_per_sec'] / baseline_exact_eps, 3),
         'map10': round(ours['map10'], 5),
         'mrr': round(ours['mrr'], 5),
         'auc': round(ours['auc'], 5),
