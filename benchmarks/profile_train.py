@@ -68,7 +68,7 @@ def build_stage_fns(model, loader, dedup_rounds=1):
         users_flat = data['rows'][idx]
         if 'bucket_specs' in data:  # engine auto-selected the bucketed sampler
             negs = complement_sample_negatives_bucketed_impl(
-                sample_rng, users_flat, idx, n_used, n,
+                sample_rng, idx, data['pos_of'], data['users_g'],
                 data['bucket_specs'], data['row_counts'], num_items, K,
                 dedup_rounds=dedup_rounds)
         elif 'shifted_pad' in data:   # padded sampler (COLLIE_TPU_SAMPLER=padded)

@@ -95,15 +95,25 @@ def build_bucketed_complement_tables(csr, example_rows, lane: int = 128,
     with its own ``[users_in_bucket, P_b]`` table, and — the part that makes
     this static-shaped — the EXAMPLE partition is precomputed here on the
     host: which canonical interaction belongs to which bucket depends only on
-    its user's degree, not on the epoch shuffle.  The epoch program counts
-    per bucket at that bucket's width and scatters results back through the
-    shuffle permutation (see ``complement_sample_negatives_bucketed_impl``).
+    its user's degree, not on the epoch shuffle.
 
-    Returns ``(bucket_specs, row_counts, n_canon)`` where each spec is
-    ``(ex_idx [n_b_pad], row_idx [n_b_pad], table [m_b, P_b])`` as numpy
-    arrays: ``ex_idx`` indexes canonical examples (padded with the spill slot
-    ``n_canon``), ``row_idx`` the bucket-local user row; specs partition
-    ``range(len(example_rows))``.
+    The precompute lays the epoch's examples out in a fixed GROUPED order —
+    bucket-major, user-sorted within each bucket — so the epoch program
+    draws, counts, and dedups entirely in that order over *contiguous
+    static slices* (no per-bucket gathers/scatters of ``[n, K]`` arrays,
+    which measured ~0.5 s each at ML-10M scale and dominated sampling), and
+    routes negatives to their shuffled batch positions with ONE final gather
+    (see :func:`complement_sample_negatives_bucketed_impl`).
+
+    Returns ``(bucket_specs, row_counts, users_g, pos_of)`` as numpy arrays:
+
+    * ``bucket_specs`` — tuple of ``(row_idx [n_b_pad], table [m_b, P_b])``
+      per nonempty bucket; ``row_idx`` is the bucket-local user row of each
+      grouped slot (chunk padding points at row 0, never read back).
+      Concatenated, the specs cover grouped slots ``0 .. N_g``.
+    * ``row_counts [num_users]`` — positives per user.
+    * ``users_g [N_g]`` — global user id per grouped slot (pads -> user 0).
+    * ``pos_of [n_canon]`` — grouped slot of each canonical example.
     """
     csr = csr.tocsr()
     csr.sort_indices()
@@ -130,9 +140,12 @@ def build_bucketed_complement_tables(csr, example_rows, lane: int = 128,
 
     specs = []
     user_local = np.zeros(num_users, dtype=np.int64)
+    pos_of = np.zeros(n_canon, dtype=np.int32)
+    users_g_parts = []
+    offset = 0
     for b, P in enumerate(widths):
         users_b = np.where(user_bucket == b)[0]
-        ex_b = np.where(ex_bucket == b)[0].astype(np.int32)
+        ex_b = np.where(ex_bucket == b)[0].astype(np.int64)
         if len(users_b) == 0 or len(ex_b) == 0:
             continue
         user_local[users_b] = np.arange(len(users_b))
@@ -144,13 +157,23 @@ def build_bucketed_complement_tables(csr, example_rows, lane: int = 128,
                                            lengths)
         src = np.repeat(indptr[users_b], lengths) + pos
         table[rows_rep, pos] = shifted[src]
-        row_b = user_local[example_rows[ex_b]].astype(np.int32)
+        # user-sorted within the bucket: the count's table row gathers become
+        # runs of repeated rows instead of random accesses
+        ex_b = ex_b[np.argsort(example_rows[ex_b], kind='stable')]
+        users_of_b = example_rows[ex_b]
+        row_b = user_local[users_of_b].astype(np.int32)
         pad = -len(ex_b) % min(chunk, _ceil_pow2(len(ex_b)))
         if pad:
-            ex_b = np.concatenate([ex_b, np.full(pad, n_canon, np.int32)])
             row_b = np.concatenate([row_b, np.zeros(pad, np.int32)])
-        specs.append((ex_b, row_b, table))
-    return specs, counts, n_canon
+            users_of_b = np.concatenate(
+                [users_of_b, np.zeros(pad, np.int64)])
+        pos_of[ex_b] = offset + np.arange(len(ex_b), dtype=np.int32)
+        users_g_parts.append(users_of_b.astype(np.int32))
+        offset += len(row_b)
+        specs.append((row_b, table))
+    users_g = (np.concatenate(users_g_parts) if users_g_parts
+               else np.zeros(0, np.int32))
+    return specs, counts, users_g, pos_of
 
 
 def _ceil_pow2(n: int) -> int:
@@ -173,10 +196,9 @@ def bucketed_table_bytes(csr, lane: int = 128) -> int:
 
 
 def complement_sample_negatives_bucketed_impl(rng: jax.Array,
-                                              user_ids: jnp.ndarray,
                                               idx: jnp.ndarray,
-                                              n_used: int,
-                                              n_canon: int,
+                                              pos_of: jnp.ndarray,
+                                              users_g: jnp.ndarray,
                                               bucket_specs,
                                               row_counts: jnp.ndarray,
                                               num_items: int,
@@ -186,36 +208,40 @@ def complement_sample_negatives_bucketed_impl(rng: jax.Array,
                                               ) -> jnp.ndarray:
     """Degree-bucketed complement sampling over a shuffled epoch.
 
-    Same RNG stream and ``item = r + |{j: shifted_j <= r}|`` math as
-    :func:`complement_sample_negatives_padded_impl` — draws happen at the
-    shuffled positions (``user_ids = rows[idx]``, bit-identical ``r``) while
-    the comparison-count runs in CANONICAL example order, where the bucket
-    partition is static: ``r`` scatters through the epoch permutation
-    (``idx[:n_used]`` is a bijection onto the ``n_canon`` canonical
-    examples), each bucket counts at its own width, and counts gather back
-    through ``idx``.
+    Same ``item = r + |{j: shifted_j <= r}|`` math as
+    :func:`complement_sample_negatives_padded_impl`, but the whole pipeline —
+    draws, comparison-counts, dedup redraws — runs in the host-precomputed
+    GROUPED order (bucket-major, user-sorted; see
+    :func:`build_bucketed_complement_tables`), where every bucket is a
+    contiguous static slice.  The epoch shuffle enters exactly once, at the
+    very end: ``negatives_grouped[pos_of[idx]]``.  The previous design
+    instead scattered the draws into canonical order and gathered counts
+    back per round — three ``[n, K]``-sized data movements per draw round,
+    measured ~0.5 s EACH at ML-10M scale (4.45M examples), 5-8x the cost of
+    the comparison-counts themselves.
 
-    Output is bit-identical to the padded/CSR samplers at all real positions.
-    The trailing ``len(idx) - n_used`` PADDING positions (mask == 0
-    everywhere downstream) duplicate canonical example ``idx[0]`` and receive
-    its count paired with their own draw — a harmless mismatch on rows whose
-    loss weight is zero (asserted by the parity tests).
+    The RNG stream is defined over grouped slots, so draws are iid uniforms
+    assigned to examples by a fixed bijection composed with the epoch
+    permutation — the same joint distribution as drawing at shuffled
+    positions, but NOT bit-identical to the padded/CSR kernels' streams
+    (those remain bit-identical to each other).  Positions ``idx`` beyond
+    the epoch's real examples (batch padding, mask == 0 downstream) simply
+    duplicate example ``idx[0]``'s negatives.
     """
     K = num_negative_samples
-    N = user_ids.shape[0]
-    shape = (N, K)
-    users = user_ids.astype(jnp.int32).reshape(-1)
-    complement_size = (num_items - row_counts[users])[:, None].astype(jnp.int32)
-    perm = idx[:n_used]
+    N_g = users_g.shape[0]
+    sizes = jnp.maximum(
+        (num_items - row_counts[users_g])[:, None].astype(jnp.int32), 1)
 
-    def count_canonical(r_canon):
-        """|{j: shifted <= r}| per (canonical example, draw), bucket by
-        bucket at each bucket's own width.  Row + draw index arrays are
-        host-precomputed constants; slot ``n_canon`` is the write spill for
-        bucket padding (never read)."""
-        counts = jnp.zeros((n_canon + 1, K), jnp.int32)
-        for ex_idx_b, row_idx_b, table_b in bucket_specs:
-            r_b = r_canon[ex_idx_b]                        # [n_b, K]
+    def count_grouped(r):
+        """|{j: shifted <= r}| per (grouped slot, draw): bucket by bucket at
+        each bucket's own width, over contiguous slices of ``r``."""
+        outs = []
+        off = 0
+        for row_idx_b, table_b in bucket_specs:
+            nb = int(row_idx_b.shape[0])
+            r_b = r[off:off + nb]                          # static slice
+            off += nb
 
             def one_chunk(args, _table=table_b):
                 row_c, r_c = args
@@ -223,32 +249,26 @@ def complement_sample_negatives_bucketed_impl(rng: jax.Array,
                 return jnp.sum(rows_c[:, None, :] <= r_c[:, :, None],
                                axis=-1, dtype=jnp.int32)   # [c, K]
 
-            nb = int(ex_idx_b.shape[0])
             if nb <= chunk:
-                cnt_b = one_chunk((row_idx_b, r_b))
+                outs.append(one_chunk((row_idx_b, r_b)))
             else:
-                cnt_b = jax.lax.map(
+                outs.append(jax.lax.map(
                     one_chunk, (row_idx_b.reshape(-1, chunk),
-                                r_b.reshape(-1, chunk, K))).reshape(nb, K)
-            counts = counts.at[ex_idx_b].set(cnt_b)
-        return counts
+                                r_b.reshape(-1, chunk, K))).reshape(nb, K))
+        return jnp.concatenate(outs, axis=0)
 
     def draw(draw_rng, negatives, redraw_mask):
-        u01 = jax.random.uniform(draw_rng, shape)
-        r = jnp.minimum((u01 * complement_size).astype(jnp.int32),
-                        complement_size - 1)
-        r_canon = jnp.zeros((n_canon + 1, K), jnp.int32).at[perm].set(
-            r[:n_used])
-        counts = count_canonical(r_canon)[idx]             # [N, K]
-        return jnp.where(redraw_mask, r + counts, negatives)
+        u01 = jax.random.uniform(draw_rng, (N_g, K))
+        r = jnp.minimum((u01 * sizes).astype(jnp.int32), sizes - 1)
+        return jnp.where(redraw_mask, r + count_grouped(r), negatives)
 
     rngs = jax.random.split(rng, 1 + dedup_rounds)
-    negatives = draw(rngs[0], jnp.zeros(shape, jnp.int32),
-                     jnp.ones(shape, dtype=bool))
+    negatives = draw(rngs[0], jnp.zeros((N_g, K), jnp.int32),
+                     jnp.ones((N_g, K), dtype=bool))
     for round_idx in range(dedup_rounds):
         dup = _duplicate_within_row_mask(negatives)
         negatives = draw(rngs[1 + round_idx], negatives, dup)
-    return negatives
+    return negatives[pos_of[idx]]                          # the ONE reorder
 
 
 def padded_table_bytes(csr, lane: int = 128) -> int:

@@ -281,12 +281,14 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                     kind = 'csr'
             sampler_kind = kind
             if kind == 'bucketed':
-                specs_np, counts_np, _ = build_bucketed_complement_tables(
+                (specs_np, counts_np, users_g_np,
+                 pos_of_np) = build_bucketed_complement_tables(
                     inter.mat, inter.mat.row)
                 data['bucket_specs'] = tuple(
-                    (_put_table(e), _put_table(r), _put_table(t))
-                    for e, r, t in specs_np)
+                    (_put_table(r), _put_table(t)) for r, t in specs_np)
                 data['row_counts'] = _put_table(counts_np)
+                data['users_g'] = _put_table(users_g_np)
+                data['pos_of'] = _put_table(pos_of_np)
             elif kind == 'padded':
                 pad_np, counts_np = build_padded_complement_table(inter.mat)
                 data['shifted_pad'] = _put_table(pad_np)
@@ -329,7 +331,7 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
             batches['pos_items'] = _constrain(data['cols'][idx].reshape(S, B))
             if exact and sampler_kind == 'bucketed':
                 negs = complement_sample_negatives_bucketed_impl(
-                    sample_rng, users_flat, idx, n_used, n,
+                    sample_rng, idx, data['pos_of'], data['users_g'],
                     data['bucket_specs'], data['row_counts'], num_items, K,
                     dedup_rounds=dedup_rounds)
             elif exact and sampler_kind == 'padded':

@@ -205,9 +205,10 @@ def test_padded_sampler_near_full_user(problem):
 
 def test_scan_engine_selects_padded_sampler_by_budget(implicit_train,
                                                       monkeypatch):
-    """Engine auto-selection: padded table within budget, CSR fallback when
-    the budget (COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB) excludes it — and both
-    engines train to identical params (bit-identical sampling)."""
+    """Engine auto-selection: bucketed tables within budget, CSR fallback
+    when the budget (COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB) excludes them.
+    The bucketed sampler draws its own (grouped-order) RNG stream, so the
+    two runs train to statistically equivalent — not bit-identical — losses."""
     from collie_tpu.data import InteractionsDataLoader
     from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
     from collie_tpu.training.scan_engine import build_scan_epoch_fns
@@ -233,15 +234,18 @@ def test_scan_engine_selects_padded_sampler_by_budget(implicit_train,
     data_csr, params_csr, loss_csr = run('0')
     assert 'bucket_specs' in data_pad and 'indptr' not in data_pad
     assert 'indptr' in data_csr and 'bucket_specs' not in data_csr
-    assert loss_pad == loss_csr
+    assert np.isfinite(loss_pad) and np.isfinite(loss_csr)
+    assert abs(loss_pad - loss_csr) / loss_csr < 0.02
     for k in params_pad:
-        np.testing.assert_array_equal(params_pad[k], params_csr[k])
+        assert np.isfinite(params_pad[k]).all()
+        assert params_pad[k].shape == params_csr[k].shape
 
 
 def test_scan_engine_sampler_env_selection(implicit_train, monkeypatch):
-    """COLLIE_TPU_SAMPLER forces a specific exact-sampling kernel; all three
-    train to identical params (bit-identical negatives at real positions,
-    zero-weight padding rows)."""
+    """COLLIE_TPU_SAMPLER forces a specific exact-sampling kernel.  The
+    padded and CSR kernels consume the same RNG stream and must train to
+    bit-identical params; the bucketed kernel's grouped-order stream differs,
+    so it is held to statistical equivalence."""
     from collie_tpu.data import InteractionsDataLoader
     from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
     from collie_tpu.training.scan_engine import build_scan_epoch_fns
@@ -267,10 +271,10 @@ def test_scan_engine_sampler_env_selection(implicit_train, monkeypatch):
     params_b, loss_b = run('bucketed')
     params_p, loss_p = run('padded')
     params_c, loss_c = run('csr')
-    assert loss_b == loss_p == loss_c
-    for k in params_b:
-        np.testing.assert_array_equal(params_b[k], params_p[k])
-        np.testing.assert_array_equal(params_b[k], params_c[k])
+    assert loss_p == loss_c
+    for k in params_p:
+        np.testing.assert_array_equal(params_p[k], params_c[k])
+    assert np.isfinite(loss_b) and abs(loss_b - loss_c) / loss_c < 0.02
 
 
 def test_padded_sampler_chunked_path_matches_direct(problem):
@@ -314,66 +318,110 @@ def skewed_problem():
     return mat, np.asarray(rows, dtype=np.int32), num_items
 
 
-def test_bucketed_sampler_bit_identical_to_padded(skewed_problem):
-    """The degree-bucketed sampler consumes the same RNG stream as the padded
-    (and CSR) kernels; at every real (non-padding) epoch position the outputs
-    must match exactly, across multiple buckets and dedup rounds."""
-    from collie_tpu.ops.device_sampling import (
-        build_bucketed_complement_tables, build_padded_complement_table,
-        complement_sample_negatives_bucketed_impl,
-        complement_sample_negatives_padded_impl)
+def _bucketed_setup(mat, ex_rows, chunk=256):
+    from collie_tpu.ops.device_sampling import build_bucketed_complement_tables
+    specs_np, counts_np, users_g_np, pos_of_np = \
+        build_bucketed_complement_tables(mat, ex_rows, chunk=chunk)
+    specs = tuple((jnp.asarray(r), jnp.asarray(t)) for r, t in specs_np)
+    return (specs, jnp.asarray(counts_np), jnp.asarray(users_g_np),
+            jnp.asarray(pos_of_np), specs_np, users_g_np, pos_of_np)
 
+
+def test_bucketed_grouped_layout_is_consistent(skewed_problem):
+    """The host precompute's grouped layout must be a faithful relabeling:
+    ``pos_of`` is injective over canonical examples, every grouped slot's
+    user matches its canonical example's user, and each slot's bucket-local
+    row indexes that user's positives in the bucket table."""
     mat, ex_rows, num_items = skewed_problem
-    specs_np, counts_np, n_canon = build_bucketed_complement_tables(
-        mat, ex_rows, chunk=256)
+    (specs, counts, users_g, pos_of,
+     specs_np, users_g_np, pos_of_np) = _bucketed_setup(mat, ex_rows)
     assert len(specs_np) >= 3, 'fixture must span multiple buckets'
-    assert n_canon == len(ex_rows)
-    specs = tuple((jnp.asarray(e), jnp.asarray(r), jnp.asarray(t))
-                  for e, r, t in specs_np)
-    pad_tbl, counts2 = build_padded_complement_table(mat)
-    np.testing.assert_array_equal(counts_np, counts2)
-
     n = len(ex_rows)
-    B = 64
-    S = -(-n // B)
-    n_used, pad = n, S * B - n
-    perm = np.random.default_rng(9).permutation(n).astype(np.int32)
-    idx = np.concatenate([perm, np.full(pad, perm[0], np.int32)])
-    users = jnp.asarray(ex_rows[idx])
-
-    for dedup_rounds in (0, 1, 2):
-        key = jax.random.PRNGKey(11)
-        a = complement_sample_negatives_padded_impl(
-            key, users, jnp.asarray(pad_tbl), jnp.asarray(counts_np),
-            num_items, 6, dedup_rounds=dedup_rounds)
-        b = complement_sample_negatives_bucketed_impl(
-            key, users, jnp.asarray(idx), n_used, n, specs,
-            jnp.asarray(counts_np), num_items, 6,
-            dedup_rounds=dedup_rounds, chunk=256)
-        np.testing.assert_array_equal(np.asarray(a)[:n_used],
-                                      np.asarray(b)[:n_used])
+    assert len(np.unique(pos_of_np)) == n, 'pos_of must be injective'
+    np.testing.assert_array_equal(users_g_np[pos_of_np], ex_rows)
+    # grouped slots concatenate the buckets exactly
+    assert sum(len(r) for r, _ in specs_np) == len(users_g_np)
+    # pads sit at the END of each bucket, and the real prefix is user-sorted
+    # (the gather-locality property the builder promises)
+    real = np.zeros(len(users_g_np), dtype=bool)
+    real[pos_of_np] = True
+    off = 0
+    for row_b, table_b in specs_np:
+        seg_real = real[off:off + len(row_b)]
+        n_real = int(seg_real.sum())
+        assert seg_real[:n_real].all() and not seg_real[n_real:].any()
+        seg_users = users_g_np[off:off + n_real]
+        assert (np.diff(seg_users) >= 0).all()
+        off += len(row_b)
 
 
-def test_bucketed_sampler_never_hits_positives(skewed_problem):
-    from collie_tpu.ops.device_sampling import (
-        build_bucketed_complement_tables,
-        complement_sample_negatives_bucketed_impl)
+def test_bucketed_sampler_exact_and_uniform(skewed_problem):
+    """Exactness (never hits a positive) and per-user uniformity over the
+    complement — the properties that break if the rank count is off by one.
+    (The grouped sampler defines its own RNG stream, so unlike round 2 it is
+    deliberately NOT bit-compared to the padded/CSR kernels; those two remain
+    bit-identical to each other.)"""
+    from collie_tpu.ops.device_sampling import \
+        complement_sample_negatives_bucketed_impl
 
     mat, ex_rows, num_items = skewed_problem
-    csr = mat.tocsr()
     positives = set(zip(mat.row.tolist(), mat.col.tolist()))
-    specs_np, counts_np, n = build_bucketed_complement_tables(mat, ex_rows)
-    specs = tuple((jnp.asarray(e), jnp.asarray(r), jnp.asarray(t))
-                  for e, r, t in specs_np)
+    specs, counts, users_g, pos_of, *_ = _bucketed_setup(mat, ex_rows)
+    n = len(ex_rows)
     perm = np.random.default_rng(3).permutation(n).astype(np.int32)
-    users = jnp.asarray(ex_rows[perm])
+    users = ex_rows[perm]
     negs = np.asarray(complement_sample_negatives_bucketed_impl(
-        jax.random.PRNGKey(2), users, jnp.asarray(perm), n, n, specs,
-        jnp.asarray(counts_np), num_items, 8))
+        jax.random.PRNGKey(2), jnp.asarray(perm), pos_of, users_g, specs,
+        counts, num_items, 8, chunk=256))
     assert negs.min() >= 0 and negs.max() < num_items
     collisions = sum((int(u), int(i)) in positives
-                     for u, row in zip(np.asarray(users), negs) for i in row)
+                     for u, row in zip(users, negs) for i in row)
     assert collisions == 0
+    # uniformity over the heavy user's complement (degree 400 of 700): with
+    # its ~2.3k draws, every complement item stays in a sane frequency band
+    heavy_rows = np.where(users == 0)[0]
+    draws = negs[heavy_rows].reshape(-1)
+    freq = np.bincount(draws, minlength=num_items)
+    comp = np.setdiff1d(np.arange(num_items), mat.tocsr()[0].indices)
+    assert freq[np.setdiff1d(np.arange(num_items), comp)].sum() == 0
+    expected = len(draws) / len(comp)
+    assert freq[comp].max() <= expected * 6 + 10
+
+
+def test_bucketed_sampler_pad_positions_duplicate_first(skewed_problem):
+    """Epoch batch padding (positions past the real examples) must receive
+    example ``idx[0]``'s negatives — the scan engine masks them out but they
+    must still be valid draws."""
+    from collie_tpu.ops.device_sampling import \
+        complement_sample_negatives_bucketed_impl
+
+    mat, ex_rows, num_items = skewed_problem
+    specs, counts, users_g, pos_of, *_ = _bucketed_setup(mat, ex_rows)
+    n = len(ex_rows)
+    perm = np.random.default_rng(9).permutation(n).astype(np.int32)
+    idx = np.concatenate([perm, np.full(7, perm[0], np.int32)])
+    negs = np.asarray(complement_sample_negatives_bucketed_impl(
+        jax.random.PRNGKey(11), jnp.asarray(idx), pos_of, users_g, specs,
+        counts, num_items, 6, chunk=256))
+    np.testing.assert_array_equal(negs[n:], np.tile(negs[:1], (7, 1)))
+
+
+def test_bucketed_sampler_dedup_reduces_duplicates(skewed_problem):
+    from collie_tpu.ops.device_sampling import \
+        complement_sample_negatives_bucketed_impl
+
+    mat, ex_rows, num_items = skewed_problem
+    specs, counts, users_g, pos_of, *_ = _bucketed_setup(mat, ex_rows)
+    n = len(ex_rows)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    dup_counts = []
+    for rounds in (0, 1):
+        negs = np.asarray(complement_sample_negatives_bucketed_impl(
+            jax.random.PRNGKey(4), idx, pos_of, users_g, specs, counts,
+            num_items, 8, dedup_rounds=rounds, chunk=256))
+        dups = sum(len(row) - len(np.unique(row)) for row in negs)
+        dup_counts.append(dups)
+    assert dup_counts[1] < dup_counts[0]
 
 
 def test_bucketed_table_bytes_smaller_than_padded(skewed_problem):
