@@ -1,0 +1,135 @@
+"""Out-of-core (HDF5) training throughput vs the in-memory scan tier.
+
+VERDICT r2 weak-item 7: the HDF5 + PrefetchLoader tier had no measured
+number, so whether the producer thread actually overlaps host reads with
+device steps was unproven.  This benchmark trains the same
+MatrixFactorizationModel on the same 2M synthetic interactions through
+three paths and reports steady-state epoch throughput for each:
+
+  hdf5          HDF5InteractionsDataLoader (chunk reads, per-step engine)
+  hdf5_prefetch PrefetchLoader(HDF5InteractionsDataLoader) (producer thread)
+  in_memory     Interactions (whole-epoch scan engine, the fast tier)
+
+Timing: first epoch is compile + cache warmup and is discarded; each
+remaining epoch is wall-clocked host-side (the per-step engine's epoch loop
+ends in a host readback of the epoch loss, which is a true sync point on
+the axon backend — block_until_ready is not).
+
+Run on the real TPU: `python benchmarks/bench_outofcore.py` (~5-10 min).
+Writes benchmarks/outofcore_results.json.
+
+Reference counterpart: ``collie/interactions/dataloaders.py:297-397``
+(HDF5InteractionsDataLoader) — the reference publishes no out-of-core
+throughput number of its own.
+"""
+import json
+import os
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+N_INTERACTIONS = 2_000_000
+NUM_USERS = 40_000
+NUM_ITEMS = 8_000
+BATCH_SIZE = 8192
+EPOCHS = 4                      # 1 warmup + 3 timed
+EMBEDDING_DIM = 32
+K_NEG = 10
+
+
+def make_data(rng):
+    users = rng.integers(0, NUM_USERS, N_INTERACTIONS * 2)
+    items = rng.integers(0, NUM_ITEMS, N_INTERACTIONS * 2)
+    key = users.astype(np.int64) * NUM_ITEMS + items
+    _, first = np.unique(key, return_index=True)
+    first = first[:N_INTERACTIONS]
+    return users[first].astype(np.int32), items[first].astype(np.int32)
+
+
+def timed_fit(model_builder, label):
+    from collie_tpu.model import CollieTrainer
+    model = model_builder()
+    trainer = CollieTrainer(model=model, max_epochs=1, verbosity=0)
+    t0 = time.perf_counter()
+    trainer.fit(model)                      # compile + warmup epoch
+    warmup = time.perf_counter() - t0
+    epochs = []
+    for _ in range(EPOCHS - 1):
+        trainer.max_epochs += 1             # reference-parity mutability
+        t0 = time.perf_counter()
+        trainer.fit(model)
+        epochs.append(time.perf_counter() - t0)
+    med = float(np.median(epochs))
+    n = model.train_loader.num_interactions
+    print(f'{label:16s} warmup {warmup:6.1f}s   epoch {med:6.2f}s   '
+          f'{n / med / 1e6:6.2f}M ex/s', flush=True)
+    return {'label': label, 'warmup_s': round(warmup, 2),
+            'epoch_s': [round(e, 3) for e in epochs],
+            'median_epoch_s': round(med, 3),
+            'examples_per_sec': round(n / med)}
+
+
+def main():
+    from collie_tpu.data import (HDF5InteractionsDataLoader, PrefetchLoader,
+                                 write_hdf5_meta)
+    from collie_tpu.interactions import Interactions
+    from collie_tpu.model import MatrixFactorizationModel
+
+    rng = np.random.default_rng(0)
+    users, items = make_data(rng)
+    print(f'{len(users)} interactions, {NUM_USERS} users, {NUM_ITEMS} items',
+          flush=True)
+
+    tmp = tempfile.mkdtemp()
+    path = os.path.join(tmp, 'interactions.h5')
+    import h5py
+    with h5py.File(path, 'w') as f:
+        g = f.require_group('interactions')
+        g.create_dataset('user_id', data=users)
+        g.create_dataset('item_id', data=items)
+    write_hdf5_meta(path, NUM_USERS, NUM_ITEMS)
+    print(f'HDF5 file: {os.path.getsize(path) / 1e6:.1f} MB', flush=True)
+
+    def build_hdf5(prefetch):
+        loader = HDF5InteractionsDataLoader(
+            hdf5_path=path, batch_size=BATCH_SIZE, shuffle=True,
+            num_negative_samples=K_NEG, seed=0)
+        if prefetch:
+            loader = PrefetchLoader(loader)
+        return MatrixFactorizationModel(
+            train=loader, embedding_dim=EMBEDDING_DIM, lr=1e-3,
+            loss='adaptive_hinge')
+
+    def build_memory():
+        inter = Interactions(users=users, items=items,
+                             num_negative_samples=K_NEG,
+                             allow_missing_ids=True)
+        return MatrixFactorizationModel(
+            train=inter, embedding_dim=EMBEDDING_DIM, lr=1e-3,
+            loss='adaptive_hinge')
+
+    results = [
+        timed_fit(lambda: build_hdf5(prefetch=False), 'hdf5'),
+        timed_fit(lambda: build_hdf5(prefetch=True), 'hdf5_prefetch'),
+        timed_fit(build_memory, 'in_memory'),
+    ]
+    by = {r['label']: r for r in results}
+    overlap = (by['hdf5']['median_epoch_s']
+               / by['hdf5_prefetch']['median_epoch_s'])
+    out = {
+        'config': {'n_interactions': int(len(users)), 'num_users': NUM_USERS,
+                   'num_items': NUM_ITEMS, 'batch_size': BATCH_SIZE,
+                   'embedding_dim': EMBEDDING_DIM, 'k_neg': K_NEG},
+        'results': results,
+        'prefetch_speedup': round(overlap, 3),
+    }
+    dest = Path(__file__).parent / 'outofcore_results.json'
+    dest.write_text(json.dumps(out, indent=2) + '\n')
+    print(json.dumps(out['results'], indent=2))
+    print(f'prefetch speedup: {overlap:.3f}x', flush=True)
+
+
+if __name__ == '__main__':
+    main()

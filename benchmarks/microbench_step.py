@@ -109,9 +109,8 @@ def main():
         def body(c, xs):
             (ue, ie, ib), s_emb, s_bias = c
             u, p, n = xs
-            (L, _), grads = jax.value_and_grad(
-                lambda q: (fwd((q[0], q[1], q[2]), u, p, n), 0.))(
-                    (ue, ie, ib), has_aux=True)
+            L, grads = jax.value_and_grad(
+                lambda q: fwd((q[0], q[1], q[2]), u, p, n))((ue, ie, ib))
             upd_e, s_emb = tx_emb.update((grads[0], grads[1]), s_emb)
             upd_b, s_bias = tx_bias.update((grads[2],), s_bias)
             return (((ue + upd_e[0], ie + upd_e[1], ib + upd_b[0]),

@@ -246,6 +246,30 @@ class BasePipeline:
         """Pure forward pass: ``(params, user IDs, item IDs) -> scores``."""
         raise NotImplementedError('``score`` must be implemented in all subclasses.')
 
+    def pairwise_scores(self,
+                        params: Dict[str, jnp.ndarray],
+                        users: jnp.ndarray,
+                        items: jnp.ndarray,
+                        training: bool = False,
+                        rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Score ``R`` candidate items per user: ``[B] users x [R, B] items ->
+        [R, B]`` scores.
+
+        This default reproduces the reference's multi-negative forward — one
+        ``score()`` call on user IDs tiled ``R`` times
+        (``base_pipeline.py:602-607``) — so every model supports it.
+        Embedding-table models override it to gather each table ONCE (user
+        rows ``[B, d]``, item rows ``[R*B, d]``) and batch the dot products,
+        instead of gathering ``R`` copies of every user row: at the ML-10M
+        config the tiled user gather alone moves ~10 MB of duplicate rows per
+        step through HBM, and on TPU the gather/scatter ops — not FLOPs —
+        dominate the training step.
+        """
+        R, B = items.shape
+        flat = self.score(params, jnp.tile(users, R), items.reshape(-1),
+                          training=training, rng=rng)
+        return flat.reshape(R, B)
+
     # ------------------------------------------------------------- loss setup
 
     def _configure_loss(self) -> None:
@@ -326,7 +350,6 @@ class BasePipeline:
             neg_items = batch['neg_items'].T  # [K, B], the reference's convention
 
             rng_pos, rng_neg = _split_or_none(rng)
-            pos_preds = self.score(params, users, pos_items, training=training, rng=rng_pos)
 
             K, B = neg_items.shape
             loss_function = self.loss_function
@@ -346,13 +369,16 @@ class BasePipeline:
                 # Requires a deterministic score() - dropout would decouple the
                 # argmax pass from the re-scoring pass.
                 neg_preds_ng = jax.lax.stop_gradient(
-                    self.score(params, jnp.tile(users, K),
-                               neg_items.reshape(-1), training=training,
-                               rng=rng_neg)).reshape(K, B)
+                    self.pairwise_scores(params, users, neg_items,
+                                         training=training, rng=rng_neg))
                 highest_idx = jnp.argmax(neg_preds_ng, axis=0)
                 hardest_items = neg_items[highest_idx, jnp.arange(B)]
-                neg_preds = self.score(params, users, hardest_items,
-                                       training=training, rng=rng_neg)
+                # positive + hardest-negative scored in ONE pairwise call so
+                # table-models' backward scatter-adds each table once
+                both = self.pairwise_scores(
+                    params, users, jnp.stack([pos_items, hardest_items]),
+                    training=training, rng=rng_pos)
+                pos_preds, neg_preds = both[0], both[1]
                 neg_items_for_loss = hardest_items
                 loss_function = self._adaptive_base_loss()
             elif K > 1 and training and self._sparse_selection_enabled() \
@@ -360,17 +386,21 @@ class BasePipeline:
                     and self._score_is_deterministic():
                 # WARP's gradient likewise only reaches the FIRST VIOLATING
                 # negative per row: run the first-violation scan on grad-free
-                # scores and re-score only the selected negative (same B-row
-                # backward as the adaptive rewrite above).
-                neg_preds_ng = jax.lax.stop_gradient(
-                    self.score(params, jnp.tile(users, K),
-                               neg_items.reshape(-1), training=training,
-                               rng=rng_neg)).reshape(K, B)
+                # scores (positive and negatives batched into one pairwise
+                # call) and re-score only positive + selected negative (one
+                # more pairwise call, so each table is gathered/scattered
+                # once).
+                all_ng = jax.lax.stop_gradient(
+                    self.pairwise_scores(
+                        params, users,
+                        jnp.concatenate([pos_items[None], neg_items], axis=0),
+                        training=training, rng=rng_neg))
                 return loss_lib.warp_loss_sparse(
-                    pos_preds,
-                    neg_preds_ng,
-                    rescore=lambda items: self.score(
-                        params, users, items, training=training, rng=rng_neg),
+                    all_ng[0],
+                    all_ng[1:],
+                    rescore_pair=lambda items: self.pairwise_scores(
+                        params, users, jnp.stack([pos_items, items]),
+                        training=training, rng=rng_neg),
                     num_items=self.hparams['num_items'],
                     positive_items=pos_items,
                     negative_items=neg_items,
@@ -379,10 +409,10 @@ class BasePipeline:
                     sample_weights=mask,
                 )
             else:
-                users_repeated = jnp.tile(users, K)
-                neg_preds = self.score(params, users_repeated,
-                                       neg_items.reshape(-1),
-                                       training=training, rng=rng_neg).reshape(K, B)
+                pos_preds = self.score(params, users, pos_items,
+                                       training=training, rng=rng_pos)
+                neg_preds = self.pairwise_scores(params, users, neg_items,
+                                                 training=training, rng=rng_neg)
                 if K == 1:
                     neg_preds = neg_preds[0]
                     neg_items_for_loss = neg_items[0]

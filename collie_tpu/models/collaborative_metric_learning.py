@@ -72,6 +72,16 @@ class CollaborativeMetricLearningModel(BasePipeline):
         diff = user_embeddings - item_embeddings + 1e-6
         return jnp.sqrt(jnp.square(diff).sum(axis=-1))
 
+    def pairwise_scores(self, params, users, items, training=False, rng=None):
+        """Single-gather batched distances (see ``BasePipeline.pairwise_scores``):
+        user rows fetched once and broadcast against ``[R, B, d]`` item rows."""
+        R, B = items.shape
+        user_embeddings = embedding_lookup(params['user_embeddings'], users)
+        item_embeddings = embedding_lookup(
+            params['item_embeddings'], items.reshape(-1)).reshape(R, B, -1)
+        diff = user_embeddings[None] - item_embeddings + 1e-6
+        return jnp.sqrt(jnp.square(diff).sum(axis=-1))
+
     def _get_item_embeddings(self) -> jnp.ndarray:
         return self.params['item_embeddings']
 

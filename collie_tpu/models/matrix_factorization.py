@@ -102,6 +102,35 @@ class MatrixFactorizationModel(BasePipeline):
         )
         return self._apply_y_range(preds)
 
+    def pairwise_scores(self, params, users, items, training=False, rng=None):
+        """Single-gather batched scoring: user rows ``[B, d]`` fetched once,
+        item rows ``[R*B, d]`` once, biases likewise — versus the base hook's
+        ``R``-fold tiled user gather.  Reproduces ``score()``'s math per
+        candidate, including dropout: masks are drawn at the tiled
+        ``[R*B, d]`` shape from the same rng split, so they equal the tiled
+        path's masks element-for-element."""
+        R, B = items.shape
+        user_embeddings = embedding_lookup(params['user_embeddings'], users)
+        flat_items = items.reshape(-1)
+        item_embeddings = embedding_lookup(params['item_embeddings'], flat_items)
+
+        p = self.hparams.get('dropout_p', 0.0)
+        rng_u, rng_i = (jax.random.split(rng) if rng is not None else (None, None))
+        if training and p:
+            dim = user_embeddings.shape[1]
+            tiled = jnp.broadcast_to(user_embeddings[None],
+                                     (R, B, dim)).reshape(R * B, dim)
+            tiled = dropout(rng_u, tiled, p, training)
+            item_embeddings = dropout(rng_i, item_embeddings, p, training)
+            dots = (tiled * item_embeddings).sum(axis=1).reshape(R, B)
+        else:
+            dots = jnp.einsum('bd,rbd->rb', user_embeddings,
+                              item_embeddings.reshape(R, B, -1))
+        preds = (dots
+                 + params['user_biases'][users][None, :]
+                 + params['item_biases'][flat_items].reshape(R, B))
+        return self._apply_y_range(preds)
+
     def _apply_y_range(self, preds):
         y_range = self.hparams.get('y_range')
         if y_range is not None:

@@ -234,7 +234,7 @@ def _warp_first_violation(hinge: jnp.ndarray, num_items: int):
 
 def warp_loss_sparse(positive_scores: jnp.ndarray,
                      many_negative_scores_ng: jnp.ndarray,
-                     rescore: Any,
+                     rescore_pair: Any,
                      num_items: int,
                      positive_items: Optional[jnp.ndarray] = None,
                      negative_items: Optional[jnp.ndarray] = None,
@@ -243,14 +243,16 @@ def warp_loss_sparse(positive_scores: jnp.ndarray,
                      sample_weights: Optional[jnp.ndarray] = None
                      ) -> jnp.ndarray:
     """:func:`warp_loss` with a sparse backward: WARP's gradient only flows
-    to the FIRST VIOLATING negative per row, yet autodiff through the dense
-    form still scatter-adds ``K*B`` mostly-zero rows into the item table.
-    Here the first-violation scan runs on gradient-free scores
-    (``many_negative_scores_ng``, shape ``[K, B]``) and only the selected
-    negative is re-scored with gradient via ``rescore(items) -> [B]``, so
-    the backward touches ``B`` rows.  Values match :func:`warp_loss` exactly
-    and gradients match wherever ``rescore`` reproduces the selection scores
-    (deterministic ``score()`` — the caller's precondition).
+    to the positive and the FIRST VIOLATING negative per row, yet autodiff
+    through the dense form still scatter-adds ``K*B`` mostly-zero rows into
+    the item table.  Here the first-violation scan runs on gradient-free
+    scores (``positive_scores`` may be grad-free too, shapes ``[B]`` /
+    ``[K, B]``) and only positive + selected negative are re-scored with
+    gradient via ``rescore_pair(items) -> [2, B]`` (row 0 positive, row 1
+    selected), so the backward touches ``2B`` rows in one scatter per table.
+    Values match :func:`warp_loss` exactly and gradients match wherever
+    ``rescore_pair`` reproduces the selection scores (deterministic
+    ``score()`` — the caller's precondition).
 
     Uncounted rows (no violation within ``K`` trials): the dense path's
     selected value is the sentinel constant 1.0 with weight-mask 0, carrying
@@ -272,10 +274,10 @@ def warp_loss_sparse(positive_scores: jnp.ndarray,
     batch_range = jnp.arange(B)
     safe_idx = jnp.minimum(idx, K - 1)          # sentinel rows are masked out
     selected_items = jnp.asarray(negative_items)[safe_idx, batch_range]
-    selected_scores = rescore(selected_items)                       # grad here
+    pair = rescore_pair(selected_items)                             # grad here
     ideal_selected = ideal_bk[batch_range, safe_idx]
 
-    value = ideal_selected - positive_scores + selected_scores
+    value = ideal_selected - pair[0] + pair[1]
     loss = loss_weights * value * should_count
     return _composite_reduction(loss, B, sample_weights)
 

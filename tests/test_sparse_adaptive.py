@@ -122,27 +122,37 @@ def test_sparse_warp_with_metadata(implicit_train, monkeypatch):  # noqa: F811
 def test_sparse_warp_not_used_at_eval(implicit_train, monkeypatch):  # noqa: F811
     """training=False must keep the dense path (no selection rewrite) — both
     give identical values, so assert on the traced structure instead: the
-    sparse path calls score() three times, the dense path twice."""
+    sparse WARP path makes two pairwise_scores calls (grad-free pos+negs,
+    then the pos+selected re-score pair) and never calls score() directly;
+    the dense eval path scores the positive via score() plus one
+    pairwise_scores call for all K negatives."""
     loader = InteractionsDataLoader(interactions=implicit_train,
                                     batch_size=64, seed=0)
     model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
                                      loss='warp', seed=0)
     batch = _batch(model)
-    calls = {'n': 0}
-    orig = model.score
+    calls = {'score': 0, 'pairwise': 0}
+    orig_score = model.score
+    orig_pairwise = model.pairwise_scores
 
     def counting_score(*a, **kw):
-        calls['n'] += 1
-        return orig(*a, **kw)
+        calls['score'] += 1
+        return orig_score(*a, **kw)
+
+    def counting_pairwise(*a, **kw):
+        calls['pairwise'] += 1
+        return orig_pairwise(*a, **kw)
 
     monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE', '1')
     monkeypatch.setattr(model, 'score', counting_score)
+    monkeypatch.setattr(model, 'pairwise_scores', counting_pairwise)
     model.calculate_loss(model.params, batch, rng=None, training=True)
-    train_calls = calls['n']
-    calls['n'] = 0
+    train_calls = dict(calls)
+    calls['score'] = calls['pairwise'] = 0
     model.calculate_loss(model.params, batch, rng=None, training=False)
-    eval_calls = calls['n']
-    assert train_calls == 3 and eval_calls == 2
+    eval_calls = dict(calls)
+    assert train_calls == {'score': 0, 'pairwise': 2}
+    assert eval_calls == {'score': 1, 'pairwise': 1}
 
 
 def test_sparse_hardest_preconditions(implicit_train):  # noqa: F811
