@@ -16,6 +16,12 @@ kernel could use, so the design is chosen on measured numbers:
 Each timing runs ITERS repetitions inside one jit (the axon tunnel costs
 ~1-2 ms per dispatch, so per-step costs must be amortized on-device).
 Results print as they land (remote compiles are 30-90 s each).
+
+CAVEAT (measured after these benches were first run): a dispatch+readback
+round trip over the tunnel costs ~24 ms regardless of payload — numbers at
+iters<=50 carry a ~0.5 ms/step floor bias. microbench_opcost.py is the
+floor-corrected calibration; the verdicts here (one-hot scatter loses to
+XLA scatter at 72k users; full one-hot blows up) hold with the bias removed.
 """
 import sys
 import time

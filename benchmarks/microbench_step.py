@@ -12,6 +12,12 @@ full training step is ablated piece by piece:
   fwd_bwd_opt      + optax-exact dual-optimizer update  (the real step)
 
 Run on the real TPU: JAX_PLATFORMS=axon (ambient) — one v5e chip.
+
+CAVEAT (measured after these benches were first run): a dispatch+readback
+round trip over the tunnel costs ~24 ms regardless of payload, so at
+ITERS=30 every number below carries a +0.8 ms/step floor bias. Absolute
+per-op costs live in microbench_opcost.py (512 in-jit iterations, floor
+subtracted); this file remains useful for the RELATIVE ablation shape.
 """
 import time
 

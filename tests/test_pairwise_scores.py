@@ -1,0 +1,109 @@
+"""Override-vs-default parity for ``pairwise_scores``.
+
+The base hook reproduces the reference's tiled-user multi-negative forward
+(``base_pipeline.py:602-607``); the MF/CML overrides exist purely to cut
+gather/scatter op count, so their outputs must match the tiled default —
+including dropout (masks drawn at the tiled shape from the same rng) and
+``y_range`` rescaling — and their gradients must agree.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collie_tpu.data.synthetic import generate_implicit_interactions
+from collie_tpu.model import (CollaborativeMetricLearningModel,
+                              MatrixFactorizationModel)
+from collie_tpu.models.base import BasePipeline
+
+
+@pytest.fixture(scope='module')
+def train():
+    return generate_implicit_interactions(num_users=60, num_items=45,
+                                          num_interactions=900,
+                                          num_negative_samples=6, seed=11)
+
+
+def _ids(model, R=6, B=32, seed=0):
+    rng = np.random.default_rng(seed)
+    users = jnp.asarray(rng.integers(0, model.hparams['num_users'], B)
+                        .astype(np.int32))
+    items = jnp.asarray(rng.integers(0, model.hparams['num_items'], (R, B))
+                        .astype(np.int32))
+    return users, items
+
+
+def _default_hook(model, params, users, items, training=False, rng=None):
+    return BasePipeline.pairwise_scores(model, params, users, items,
+                                        training=training, rng=rng)
+
+
+@pytest.mark.parametrize('kwargs', [
+    {},
+    {'y_range': (0, 4)},
+])
+def test_mf_override_matches_default(train, kwargs):
+    model = MatrixFactorizationModel(train=train, embedding_dim=8, seed=7,
+                                     **kwargs)
+    users, items = _ids(model)
+    got = model.pairwise_scores(model.params, users, items)
+    want = _default_hook(model, model.params, users, items)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mf_override_matches_default_under_dropout(train):
+    """Dropout masks must be drawn at the tiled [R*B, d] shape from the same
+    rng split, so the override equals the tiled path element-for-element."""
+    model = MatrixFactorizationModel(train=train, embedding_dim=8, seed=7,
+                                     dropout_p=0.35)
+    users, items = _ids(model)
+    rng = jax.random.PRNGKey(123)
+    got = model.pairwise_scores(model.params, users, items, training=True,
+                                rng=rng)
+    want = _default_hook(model, model.params, users, items, training=True,
+                         rng=rng)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cml_override_matches_default(train):
+    model = CollaborativeMetricLearningModel(train=train, embedding_dim=8,
+                                             seed=7)
+    users, items = _ids(model)
+    got = model.pairwise_scores(model.params, users, items)
+    want = _default_hook(model, model.params, users, items)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mf_override_gradients_match_default(train):
+    model = MatrixFactorizationModel(train=train, embedding_dim=8, seed=7)
+    users, items = _ids(model)
+
+    def loss_via(fn):
+        def f(params):
+            s = fn(model, params, users, items)
+            return jnp.sum(jnp.tanh(s))
+        return jax.grad(f)(model.params)
+
+    g_override = loss_via(type(model).pairwise_scores)
+    g_default = loss_via(_default_hook)
+    for key in g_default:
+        np.testing.assert_allclose(np.asarray(g_override[key]),
+                                   np.asarray(g_default[key]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key)
+
+
+def test_default_hook_shape_for_tower_model(train):
+    """Tower models (no override) run the tiled default; R=1 degenerates to
+    a [1, B] row matching score()."""
+    from collie_tpu.model import NeuralCollaborativeFiltering
+
+    model = NeuralCollaborativeFiltering(train=train, embedding_dim=8, seed=7)
+    users, items = _ids(model, R=1)
+    got = model.pairwise_scores(model.params, users, items)
+    want = model.score(model.params, users, items[0])
+    assert got.shape == (1, users.shape[0])
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
