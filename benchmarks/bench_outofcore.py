@@ -38,6 +38,9 @@ EPOCHS = 4                      # 1 warmup + 3 timed
 EMBEDDING_DIM = 32
 K_NEG = 10
 
+if os.environ.get('COLLIE_TPU_SMOKE'):      # tiny-scale CI shape check
+    N_INTERACTIONS, NUM_USERS, NUM_ITEMS, BATCH_SIZE = 20_000, 500, 300, 1024
+
 
 def make_data(rng):
     users = rng.integers(0, NUM_USERS, N_INTERACTIONS * 2)
@@ -125,8 +128,9 @@ def main():
         'results': results,
         'prefetch_speedup': round(overlap, 3),
     }
-    dest = Path(__file__).parent / 'outofcore_results.json'
-    dest.write_text(json.dumps(out, indent=2) + '\n')
+    if not os.environ.get('COLLIE_TPU_SMOKE'):
+        dest = Path(__file__).parent / 'outofcore_results.json'
+        dest.write_text(json.dumps(out, indent=2) + '\n')
     print(json.dumps(out['results'], indent=2))
     print(f'prefetch speedup: {overlap:.3f}x', flush=True)
 
