@@ -85,6 +85,11 @@ def bench(B, N, D, k=10, seed=0):
 
 
 def main():
+    try:
+        from benchmarks._watchdog import device_watchdog
+    except ImportError:          # run as `python benchmarks/x.py`
+        from _watchdog import device_watchdog
+    device_watchdog(label='bench_eval_kernel')
     results = {
         'backend': jax.default_backend(),
         'ml100k_shape': bench(B=256, N=1682, D=120),

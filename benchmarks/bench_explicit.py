@@ -45,6 +45,11 @@ def timed_fit(fused: bool, inter, epochs: int, batch_size: int):
 
 
 def main():
+    try:
+        from benchmarks._watchdog import device_watchdog
+    except ImportError:          # run as `python benchmarks/x.py`
+        from _watchdog import device_watchdog
+    device_watchdog(label='bench_explicit')
     parser = argparse.ArgumentParser()
     parser.add_argument('--epochs', type=int, default=20)
     parser.add_argument('--batch-size', type=int, default=1024)

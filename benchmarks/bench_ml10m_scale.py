@@ -25,6 +25,11 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
 def main():
+    try:
+        from benchmarks._watchdog import device_watchdog
+    except ImportError:          # run as `python benchmarks/x.py`
+        from _watchdog import device_watchdog
+    device_watchdog(label='ml10m_scale')
     parser = argparse.ArgumentParser()
     parser.add_argument('--epochs', type=int, default=10)
     parser.add_argument('--num-users', type=int, default=72_000)

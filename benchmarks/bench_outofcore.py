@@ -75,6 +75,11 @@ def timed_fit(model_builder, label):
 
 
 def main():
+    try:
+        from benchmarks._watchdog import device_watchdog
+    except ImportError:          # run as `python benchmarks/x.py`
+        from _watchdog import device_watchdog
+    device_watchdog(label='bench_outofcore')
     from collie_tpu.data import (HDF5InteractionsDataLoader, PrefetchLoader,
                                  write_hdf5_meta)
     from collie_tpu.interactions import Interactions

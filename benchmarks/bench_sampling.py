@@ -58,6 +58,11 @@ def run(mode: str, train, test, trials: int = 5):
 
 
 def main():
+    try:
+        from benchmarks._watchdog import device_watchdog
+    except ImportError:          # run as `python benchmarks/x.py`
+        from _watchdog import device_watchdog
+    device_watchdog(label='bench_sampling')
     from collie_tpu.data import stratified_split
     from collie_tpu.data.synthetic import generate_implicit_interactions
 

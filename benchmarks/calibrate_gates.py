@@ -49,6 +49,11 @@ def run_explicit_trial(model, seed: int, test):
 
 
 def main():
+    try:
+        from benchmarks._watchdog import device_watchdog
+    except ImportError:          # run as `python benchmarks/x.py`
+        from _watchdog import device_watchdog
+    device_watchdog(label='calibrate_gates')
     parser = argparse.ArgumentParser()
     parser.add_argument('--trials', type=int, default=30)
     args = parser.parse_args()

@@ -26,6 +26,11 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
 def main():
+    try:
+        from benchmarks._watchdog import device_watchdog
+    except ImportError:          # run as `python benchmarks/x.py`
+        from _watchdog import device_watchdog
+    device_watchdog(label='fused_quality')
     parser = argparse.ArgumentParser()
     parser.add_argument('--trials', type=int, default=10)
     args = parser.parse_args()

@@ -206,6 +206,11 @@ def profile_config(num_users, num_items, num_interactions, dim, batch_size,
 
 
 def main():
+    try:
+        from benchmarks._watchdog import device_watchdog
+    except ImportError:          # run as `python benchmarks/x.py`
+        from _watchdog import device_watchdog
+    device_watchdog(label='profile_train')
     import argparse
     parser = argparse.ArgumentParser()
     parser.add_argument('--full-scale', action='store_true',
