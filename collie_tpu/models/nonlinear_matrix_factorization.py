@@ -133,6 +133,35 @@ class NonlinearMatrixFactorizationModel(BasePipeline):
             preds = jax.nn.sigmoid(preds) * (y_range[1] - y_range[0]) + y_range[0]
         return preds
 
+    def pairwise_scores(self, params, users, items, training=False, rng=None):
+        """Deterministic fast path: the user tower's input is the same user
+        row for every one of the ``R`` candidates, so it runs ONCE on
+        ``[B, d]`` instead of ``R`` times on the tiled ``[R*B, d]`` (and the
+        user table is gathered once). Falls back to the tiled base hook when
+        dropout is active — the tiled path draws independent masks per
+        candidate copy, which a shared user tower cannot reproduce."""
+        if training and (self.hparams.get('dense_dropout_p')
+                         or self.hparams.get('embedding_dropout_p')):
+            return super().pairwise_scores(params, users, items,
+                                           training=training, rng=rng)
+        R, B = items.shape
+        flat_items = items.reshape(-1)
+        user_x = self._tower(
+            params, 'user_dense',
+            embedding_lookup(params['user_embeddings'], users),
+            len(self.hparams['user_dense_layers_dims']), False, None)
+        item_x = self._tower(
+            params, 'item_dense',
+            embedding_lookup(params['item_embeddings'], flat_items),
+            len(self.hparams['item_dense_layers_dims']), False, None)
+        preds = (jnp.einsum('bd,rbd->rb', user_x, item_x.reshape(R, B, -1))
+                 + params['user_biases'][users][None, :]
+                 + params['item_biases'][flat_items].reshape(R, B))
+        y_range = self.hparams.get('y_range')
+        if y_range is not None:
+            preds = jax.nn.sigmoid(preds) * (y_range[1] - y_range[0]) + y_range[0]
+        return preds
+
     def _get_item_embeddings(self) -> jnp.ndarray:
         """Post-tower item embeddings, cached (reference ``:214-228``)."""
         if getattr(self, '_item_embeddings_cache', None) is None:

@@ -95,6 +95,33 @@ def test_mf_override_gradients_match_default(train):
                                    rtol=1e-5, atol=1e-6, err_msg=key)
 
 
+def test_nonlinear_mf_override_matches_default(train):
+    from collie_tpu.model import NonlinearMatrixFactorizationModel
+
+    model = NonlinearMatrixFactorizationModel(
+        train=train, user_embedding_dim=8, item_embedding_dim=8,
+        user_dense_layers_dims=[12, 6], item_dense_layers_dims=[12, 6],
+        seed=7)
+    users, items = _ids(model)
+    got = model.pairwise_scores(model.params, users, items)
+    want = _default_hook(model, model.params, users, items)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # dropout active -> must route through the tiled default (identical by
+    # construction: assert it matches the base hook with the same rng)
+    model_dp = NonlinearMatrixFactorizationModel(
+        train=train, user_embedding_dim=8, item_embedding_dim=8,
+        user_dense_layers_dims=[12, 6], item_dense_layers_dims=[12, 6],
+        dense_dropout_p=0.3, seed=7)
+    rng = jax.random.PRNGKey(5)
+    got_dp = model_dp.pairwise_scores(model_dp.params, users, items,
+                                      training=True, rng=rng)
+    want_dp = _default_hook(model_dp, model_dp.params, users, items,
+                            training=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(got_dp), np.asarray(want_dp),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_default_hook_shape_for_tower_model(train):
     """Tower models (no override) run the tiled default; R=1 degenerates to
     a [1, B] row matching score()."""
