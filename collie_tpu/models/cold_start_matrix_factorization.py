@@ -22,7 +22,7 @@ import pandas as pd
 
 from collie_tpu.models.base import INTERACTIONS_LIKE_INPUT
 from collie_tpu.models.multi_stage import MultiStagePipeline
-from collie_tpu.ops.embeddings import dropout, embedding_lookup, scaled_embedding_init, \
+from collie_tpu.ops.embeddings import dropout, embedding_lookup, scaled_embedding_init, tiled_dropout_dots, \
     zero_embedding_init
 from collie_tpu.training.schedulers import ReduceLROnPlateau
 from collie_tpu.utils import get_init_arguments, merge_docstrings
@@ -179,6 +179,30 @@ class ColdStartModel(MultiStagePipeline):
         item_embeddings = dropout(rng_i, item_embeddings, p, training)
 
         return (user_embeddings * item_embeddings).sum(axis=1) + user_biases + item_biases
+
+    def pairwise_scores(self, params, users, items, training=False, rng=None):
+        """Single-gather batched scoring (see ``BasePipeline.pairwise_scores``)
+        with the stage-conditional item source: ``item_buckets`` maps item IDs
+        through the bucket assignment before the (bucket-)table gather."""
+        R, B = items.shape
+        user_embeddings = embedding_lookup(params['user_embeddings'], users)
+        flat = items.reshape(-1)
+
+        if self.hparams['stage'] == 'item_buckets':
+            flat = self._item_buckets_device[flat]
+            item_embeddings = embedding_lookup(
+                params['item_bucket_embeddings'], flat)
+            item_biases = params['item_bucket_biases'][flat]
+        else:
+            item_embeddings = embedding_lookup(params['item_embeddings'], flat)
+            item_biases = params['item_biases'][flat]
+
+        rng_u, rng_i = (jax.random.split(rng) if rng is not None else (None, None))
+        dots = tiled_dropout_dots(user_embeddings, item_embeddings, R, B,
+                                  self.hparams.get('dropout_p', 0.0),
+                                  training, rng_u, rng_i)
+        return (dots + params['user_biases'][users][None, :]
+                + item_biases.reshape(R, B))
 
     def item_bucket_item_similarity(self, item_bucket_id: int) -> pd.Series:
         """Cosine similarity of one bucket embedding against every item

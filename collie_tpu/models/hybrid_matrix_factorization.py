@@ -21,7 +21,7 @@ from collie_tpu.models._hybrid_common import (as_float_array, build_combined_par
                                               metadata_tower_output, save_hybrid_model)
 from collie_tpu.models.base import INTERACTIONS_LIKE_INPUT
 from collie_tpu.models.multi_stage import MultiStagePipeline
-from collie_tpu.ops.embeddings import dropout, embedding_lookup, scaled_embedding_init, \
+from collie_tpu.ops.embeddings import dropout, embedding_lookup, scaled_embedding_init, tiled_dropout_dots, \
     zero_embedding_init
 from collie_tpu.training.schedulers import ReduceLROnPlateau
 from collie_tpu.utils import get_init_arguments, merge_docstrings
@@ -229,6 +229,25 @@ class HybridModel(MultiStagePipeline):
                                    params['user_biases'][users],
                                    params['item_biases'][items],
                                    self.n_combined_layers, p, training, rngs[2])
+
+    def pairwise_scores(self, params, users, items, training=False, rng=None):
+        """Single-gather fast path for the ``matrix_factorization`` stage
+        (identical math to ``score``'s MF branch, dropout masks at the tiled
+        shape); the metadata-tower stages mix user and item features through
+        the combined MLP per pair, so they keep the tiled base hook."""
+        if self.hparams['stage'] != 'matrix_factorization':
+            return super().pairwise_scores(params, users, items,
+                                           training=training, rng=rng)
+        R, B = items.shape
+        user_embeddings = embedding_lookup(params['user_embeddings'], users)
+        flat = items.reshape(-1)
+        item_embeddings = embedding_lookup(params['item_embeddings'], flat)
+        rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+        dots = tiled_dropout_dots(user_embeddings, item_embeddings, R, B,
+                                  self.hparams.get('dropout_p', 0.0),
+                                  training, rngs[0], rngs[1])
+        return (dots + params['user_biases'][users][None, :]
+                + params['item_biases'][flat].reshape(R, B))
 
     def _get_item_embeddings(self) -> jnp.ndarray:
         return self.params['item_embeddings']

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from collie_tpu.models.base import INTERACTIONS_LIKE_INPUT, BasePipeline
-from collie_tpu.ops.embeddings import dropout, embedding_lookup, scaled_embedding_init, \
+from collie_tpu.ops.embeddings import dropout, embedding_lookup, scaled_embedding_init, tiled_dropout_dots, \
     zero_embedding_init
 from collie_tpu.training.schedulers import ReduceLROnPlateau
 from collie_tpu.utils import get_init_arguments, merge_docstrings
@@ -114,18 +114,10 @@ class MatrixFactorizationModel(BasePipeline):
         flat_items = items.reshape(-1)
         item_embeddings = embedding_lookup(params['item_embeddings'], flat_items)
 
-        p = self.hparams.get('dropout_p', 0.0)
         rng_u, rng_i = (jax.random.split(rng) if rng is not None else (None, None))
-        if training and p:
-            dim = user_embeddings.shape[1]
-            tiled = jnp.broadcast_to(user_embeddings[None],
-                                     (R, B, dim)).reshape(R * B, dim)
-            tiled = dropout(rng_u, tiled, p, training)
-            item_embeddings = dropout(rng_i, item_embeddings, p, training)
-            dots = (tiled * item_embeddings).sum(axis=1).reshape(R, B)
-        else:
-            dots = jnp.einsum('bd,rbd->rb', user_embeddings,
-                              item_embeddings.reshape(R, B, -1))
+        dots = tiled_dropout_dots(user_embeddings, item_embeddings, R, B,
+                                  self.hparams.get('dropout_p', 0.0),
+                                  training, rng_u, rng_i)
         preds = (dots
                  + params['user_biases'][users][None, :]
                  + params['item_biases'][flat_items].reshape(R, B))

@@ -84,3 +84,28 @@ def dropout(rng: Optional[jax.Array],
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0)
+
+
+def tiled_dropout_dots(user_embeddings: jnp.ndarray,
+                       item_embeddings: jnp.ndarray,
+                       R: int,
+                       B: int,
+                       rate: float,
+                       training: bool,
+                       rng_u,
+                       rng_i) -> jnp.ndarray:
+    """``[R, B]`` dot products between ``[B, d]`` user rows and ``[R*B, d]``
+    item rows — the shared core of the table-models' ``pairwise_scores``
+    overrides. Under dropout, masks are drawn at the tiled ``[R*B, d]``
+    shape from the given rngs so results equal the base hook's tiled-user
+    path element-for-element (the override exists to skip the R-fold user
+    GATHER, not to change the math)."""
+    if training and rate:
+        dim = user_embeddings.shape[1]
+        tiled = jnp.broadcast_to(user_embeddings[None],
+                                 (R, B, dim)).reshape(R * B, dim)
+        tiled = dropout(rng_u, tiled, rate, training)
+        item_embeddings = dropout(rng_i, item_embeddings, rate, training)
+        return (tiled * item_embeddings).sum(axis=1).reshape(R, B)
+    return jnp.einsum('bd,rbd->rb', user_embeddings,
+                      item_embeddings.reshape(R, B, -1))

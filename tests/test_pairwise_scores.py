@@ -122,6 +122,43 @@ def test_nonlinear_mf_override_matches_default(train):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_cold_start_override_matches_default_both_stages(train):
+    from collie_tpu.model import ColdStartModel
+
+    buckets = np.arange(train.num_items) % 5
+    model = ColdStartModel(train=train, item_buckets=buckets,
+                           embedding_dim=8, seed=7)
+    users, items = _ids(model)
+    for stage in ('item_buckets', 'no_buckets'):
+        model.set_stage(stage)
+        got = model.pairwise_scores(model.params, users, items)
+        want = _default_hook(model, model.params, users, items)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6, err_msg=stage)
+
+
+def test_hybrid_override_matches_default_per_stage(train):
+    from collie_tpu.model import HybridModel
+
+    meta = np.random.default_rng(0).integers(0, 3, train.num_items)
+    model = HybridModel(train=train, item_metadata=meta.reshape(-1, 1),
+                        embedding_dim=8, seed=7,
+                        item_metadata_layers_dims=[6],
+                        combined_layers_dims=[8])
+    users, items = _ids(model)
+    got = model.pairwise_scores(model.params, users, items)
+    want = _default_hook(model, model.params, users, items)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # later stages must fall back to the tiled default (combined MLP mixes
+    # user and item features per pair)
+    model.advance_stage()
+    got2 = model.pairwise_scores(model.params, users, items)
+    want2 = _default_hook(model, model.params, users, items)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_default_hook_shape_for_tower_model(train):
     """Tower models (no override) run the tiled default; R=1 degenerates to
     a [1, B] row matching score()."""
