@@ -199,30 +199,65 @@ def df_to_html(df: pd.DataFrame,
                max_num_rows: int = 200,
                **kwargs) -> str:
     """Render a DataFrame to HTML with images / links / tags
-    (reference: ``utils.py:261-408``)."""
+    (reference: ``utils.py:261-408``).
+
+    Reference semantics preserved exactly: image columns ignore all other
+    transformations (hyperlink / html-tag transforms skip them), hyperlink
+    anchors open in a new tab, and naming a column absent from ``df``
+    raises ``ValueError``.
+    """
+    def _wrap_cols(cols) -> list:
+        try:
+            iter(cols)
+        except TypeError:
+            cols = [cols]
+        if isinstance(cols, str):
+            cols = [cols]
+        return list(cols)
+
     if html_tags is None:
         html_tags = {}
-    df = df.head(max_num_rows).copy()
+    if max_num_rows is None or len(df) <= max_num_rows:
+        df = df.copy()
+    else:
+        df = df.head(max_num_rows).copy()
 
-    width_str = f' width="{image_width}"' if image_width is not None else ''
+    image_cols = _wrap_cols(image_cols)
     for col in image_cols:
-        df[col] = df[col].map(lambda p: f'<img src="{p}"{width_str}>')
-    for col in hyperlink_cols:
-        if col in image_cols:
-            # wrap the image in the anchor rather than double-rendering
-            df[col] = df[col].map(lambda p: f'<a href="{p}">{p}</a>')
+        if col not in df.columns:
+            raise ValueError(f'{col} not a column in df!')
+        if not image_width:
+            df[col] = df[col].map(lambda x: f'<img src="{x}">')
         else:
-            df[col] = df[col].map(lambda p: f'<a href="{p}">{p}</a>')
+            df[col] = df[col].map(lambda x: f'<img src="{x}" width={image_width}>')
+
+    for col in _wrap_cols(hyperlink_cols):
+        if col not in df.columns:
+            raise ValueError(f'{col} not a column in df!')
+        if col in image_cols:
+            continue
+        df[col] = df[col].map(lambda x: f'<a target="_blank" href="{x}">{x}</a>')
+
     for col, tags in html_tags.items():
+        if col not in df.columns:
+            raise ValueError(f'{col} not a column in df!')
+        if col in image_cols:
+            continue
         if isinstance(tags, str):
             tags = [tags]
-        for tag in tags:
-            df[col] = df[col].map(lambda x: f'<{tag}>{x}</{tag}>')
+        opening = ''.join(f'<{t}>' for t in tags)
+        closing = ''.join(f'</{t}>' for t in reversed(tags))
+        df[col] = df[col].map(lambda x: f'{opening}{x}{closing}')
 
-    if transpose:
-        df = df.T
-    kwargs.setdefault('escape', False)
-    return df.to_html(**kwargs)
+    max_colwidth = pd.get_option('display.max_colwidth')
+    pd.set_option('display.max_colwidth', None)
+    try:
+        if transpose:
+            df = df.T
+        df_html = df.to_html(escape=False, **kwargs)
+    finally:
+        pd.set_option('display.max_colwidth', max_colwidth)
+    return df_html
 
 
 class Timer:

@@ -103,8 +103,44 @@ def test_df_to_html_images_and_tags():
     df = pd.DataFrame({'poster': ['a.jpg'], 'title': ['Movie']})
     html = df_to_html(df, image_cols=['poster'], html_tags={'title': 'strong'},
                       image_width=300)
-    assert '<img src="a.jpg" width="300">' in html
+    assert '<img src="a.jpg" width=300>' in html
     assert '<strong>Movie</strong>' in html
+
+
+def test_df_to_html_image_cols_ignore_other_transforms():
+    # Reference: "Columns specified as images will make all other
+    # transformations to those columns be ignored" (utils.py:366-381).
+    df = pd.DataFrame({'poster': ['a.jpg'], 'url': ['http://x'], 'title': ['M']})
+    html = df_to_html(df, image_cols=['poster'],
+                      hyperlink_cols=['poster', 'url'],
+                      html_tags={'poster': 'em', 'title': 'strong'})
+    assert '<img src="a.jpg">' in html
+    assert '<a' not in html.split('<img src="a.jpg">')[0].split('poster')[-1]
+    # image column untouched by hyperlink/tag transforms
+    assert '<a target="_blank" href="<img' not in html
+    assert '<em><img' not in html
+    # non-image hyperlink column gets a new-tab anchor
+    assert '<a target="_blank" href="http://x">http://x</a>' in html
+    assert '<strong>M</strong>' in html
+
+
+def test_df_to_html_missing_column_raises():
+    df = pd.DataFrame({'a': [1]})
+    with pytest.raises(ValueError):
+        df_to_html(df, image_cols=['nope'])
+    with pytest.raises(ValueError):
+        df_to_html(df, hyperlink_cols=['nope'])
+    with pytest.raises(ValueError):
+        df_to_html(df, html_tags={'nope': 'strong'})
+
+
+def test_df_to_html_scalar_col_names_and_tag_order():
+    # scalar (non-list) column names are accepted, incl. integer columns
+    df = pd.DataFrame({0: ['x.png'], 'title': ['M']})
+    html = df_to_html(df, image_cols=0, html_tags={'title': ['em', 'strong']})
+    assert '<img src="x.png">' in html
+    # nested tags wrap outermost-first, reference order
+    assert '<em><strong>M</strong></em>' in html
 
 
 def test_timer_reports_minutes(capsys):
