@@ -106,6 +106,43 @@ def put_epoch_array(x, mesh: Mesh, axis: int = 0):
     return put_replicated(x, mesh)
 
 
+def fingerprint_arrays(*arrays) -> np.ndarray:
+    """64-bit content fingerprint of host arrays (dtype + shape + bytes)."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=8)
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return np.frombuffer(h.digest(), dtype=np.uint64).copy()
+
+
+def assert_same_across_processes(tag: str, *arrays) -> None:
+    """Fail loudly if ``arrays`` differ between processes.
+
+    ``put_global`` requires every process to hold the SAME full host array —
+    a divergent copy (e.g. per-host shuffled datasets) would train silently
+    wrong, each host uploading different shards of what the program treats
+    as one global array.  Lightning's DDP sampler gives the reference this
+    for free (``/root/reference/collie/model/base/trainer.py:71-79``); here
+    a 64-bit fingerprint is all-gathered at fit start and compared.
+    No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    fp = fingerprint_arrays(*arrays)
+    all_fp = np.asarray(multihost_utils.process_allgather(fp)).reshape(-1)
+    if not (all_fp == all_fp[0]).all():
+        bad = [i for i, v in enumerate(all_fp) if v != all_fp[0]]
+        raise ValueError(
+            f'{tag} differs across processes (fingerprints {all_fp.tolist()}, '
+            f'mismatched process ids {bad}): every process must construct '
+            'the identical dataset (same arrays, same order, same seed) '
+            'before a multi-process fit.')
+
+
 def fetch(x) -> np.ndarray:
     """Bring a global array to host.  Replicated / fully-addressable arrays
     convert directly; otherwise all-gather the shards across processes."""

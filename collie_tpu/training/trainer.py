@@ -167,6 +167,20 @@ class CollieTrainer:
                     'processes (collie_tpu.parallel.make_mesh()).')
             if jax.process_index() != 0:
                 self.verbosity = 0
+            # per-process epoch feeding assumes every process holds the SAME
+            # dataset; a divergent copy would train silently wrong, so fail
+            # loudly on a cross-process fingerprint mismatch at fit start
+            from collie_tpu.parallel.distributed import assert_same_across_processes
+            for tag, loader in (('train data', model.train_loader),
+                                ('val data', model.val_loader)):
+                if loader is None:
+                    continue
+                try:
+                    mat = loader.interactions.mat.tocoo()
+                except Exception:
+                    continue    # out-of-core loaders raise on ``mat``; they
+                    # are rejected below with the in-memory-only error anyway
+                assert_same_across_processes(tag, mat.row, mat.col, mat.data)
         specs = model.optimizer_specs()
         stage = model.current_stage
         active = [spec.stage is None or spec.stage == stage for spec in specs]

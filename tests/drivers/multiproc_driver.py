@@ -22,7 +22,11 @@ def main():
     p.add_argument('--local-devices', type=int, required=True)
     p.add_argument('--model-axis', type=int, default=2)
     p.add_argument('--epochs', type=int, default=3)
-    p.add_argument('--mode', choices=['train', 'resume'], default='train')
+    p.add_argument('--mode', choices=['train', 'resume', 'save'],
+                   default='train')
+    p.add_argument('--corrupt', action='store_true',
+                   help='process 1 perturbs one interaction before fit '
+                        '(negative test for the fit-start data fingerprint)')
     p.add_argument('--ckpt-dir', default=None)
     args = p.parse_args()
 
@@ -58,6 +62,9 @@ def main():
 
     if args.mode == 'train':
         model, loader = _tiny_model(batch_size=64)
+        if args.corrupt and jax.process_index() == 1:
+            mat = loader.interactions.mat
+            mat.col[0] = (mat.col[0] + 1) % loader.num_items
         logger = ListLogger()
         trainer = CollieTrainer(model, max_epochs=args.epochs, verbosity=0,
                                 mesh=mesh, seed=0, logger=logger)
@@ -66,6 +73,24 @@ def main():
                                      k=5, verbose=False, mesh=mesh)
         result = {'train_losses': logger.epoch_losses,
                   'mapk': scores[0], 'mrr': scores[1]}
+    elif args.mode == 'save':
+        # write a per-shard checkpoint from THIS topology (for the
+        # cross-topology restore test, which resumes it in-process on a
+        # different mesh), plus the uninterrupted 4-epoch loss trajectory
+        ckpt = Path(args.ckpt_dir)
+        model, _ = _tiny_model(batch_size=64)
+        log1 = ListLogger()
+        t1 = CollieTrainer(model, max_epochs=2, verbosity=0, mesh=mesh,
+                           seed=0, logger=log1, checkpoint_dir=str(ckpt / 'a'))
+        t1.fit(model)
+
+        model3, _ = _tiny_model(batch_size=64)
+        log3 = ListLogger()
+        t3 = CollieTrainer(model3, max_epochs=4, verbosity=0, mesh=mesh,
+                           seed=0, logger=log3)
+        t3.fit(model3)
+        result = {'first_losses': log1.epoch_losses,
+                  'uninterrupted_losses': log3.epoch_losses}
     else:  # resume: fit 2 epochs w/ per-shard checkpoints, restore, fit to 4
         ckpt = Path(args.ckpt_dir)
         model, loader = _tiny_model(batch_size=64)

@@ -39,8 +39,12 @@ def _env():
     return env
 
 
-def _run_driver(extra, local_devices, num_processes=1, timeout=420):
-    """Launch ``num_processes`` copies of the driver; return proc 0's JSON."""
+def _run_driver(extra, local_devices, num_processes=1, timeout=420,
+                expect_ok=True):
+    """Launch ``num_processes`` copies of the driver; return proc 0's JSON.
+
+    ``expect_ok=False`` returns the raw ``(rc, stdout, stderr)`` list instead
+    (for negative tests that assert a loud failure)."""
     port = _free_port()
     base = [sys.executable, str(DRIVER), '--port', str(port),
             '--local-devices', str(local_devices),
@@ -58,6 +62,8 @@ def _run_driver(extra, local_devices, num_processes=1, timeout=420):
         for proc in procs:
             if proc.poll() is None:
                 proc.kill()
+    if not expect_ok:
+        return outs
     for rc, out, err in outs:
         assert rc == 0, f'driver failed (rc={rc})\n{out[-2000:]}\n{err[-3000:]}'
     for rc, out, err in outs:
@@ -117,3 +123,91 @@ def test_two_process_sharded_checkpoint_resume(tmp_path):
             assert arr.ndim < 2 or arr.shape[0] < 128, (
                 'full item table materialized in one shard entry')
     assert all(wrote_2d), 'checkpoint I/O not spread across processes'
+
+
+class _ListLogger:
+    def __init__(self):
+        self.epoch_losses = []
+
+    def log_metrics(self, metrics, step):
+        if 'train_loss_epoch' in metrics:
+            self.epoch_losses.append(float(metrics['train_loss_epoch']))
+
+
+def _resume_in_process(ckpt, mesh):
+    """Restore ``ckpt`` in THIS (single-process) interpreter under ``mesh``
+    (None = plain single-device training) and fit to epoch 4."""
+    from __graft_entry__ import _tiny_model
+    from collie_tpu.training.trainer import CollieTrainer
+
+    model, _ = _tiny_model(batch_size=64)
+    logger = _ListLogger()
+    trainer = CollieTrainer(model, max_epochs=4, verbosity=0, mesh=mesh,
+                            seed=0, logger=logger)
+    assert trainer.resume_from_checkpoint(ckpt) == 2
+    trainer.fit(model)
+    return logger.epoch_losses
+
+
+@pytest.fixture(scope='module')
+def two_process_checkpoint(tmp_path_factory):
+    """A per-shard checkpoint written BY a real 2-process x 4-device run,
+    plus that topology's uninterrupted 4-epoch loss trajectory."""
+    tmp = tmp_path_factory.mktemp('xtopo')
+    result = _run_driver(['--mode', 'save', '--ckpt-dir', str(tmp)],
+                         local_devices=4, num_processes=2)
+    return tmp / 'a' / 'checkpoint_epoch_2.shards', result
+
+
+def test_restore_two_process_checkpoint_on_single_process_mesh(
+        two_process_checkpoint):
+    """Topology change: 2 procs x 4 devices -> 1 proc x 8 devices.
+
+    Shard boundaries match the saved ones, but the restoring process must
+    read BOTH saved npz files (round-robin ownership spread entries over the
+    two writers)."""
+    from collie_tpu.parallel import make_mesh
+
+    ckpt, saved = two_process_checkpoint
+    losses = _resume_in_process(ckpt, mesh=make_mesh(model=2))
+    np.testing.assert_allclose(losses, saved['uninterrupted_losses'][2:],
+                               rtol=1e-4)
+
+
+def test_restore_two_process_checkpoint_on_single_device(
+        two_process_checkpoint):
+    """Topology change: 2 procs x 4 devices -> ONE device, no mesh.
+
+    The restore sharding (single full-array shard) matches none of the saved
+    shard indexes, exercising the assemble-from-overlapping-pieces path in
+    ``parallel/checkpoint.py::load_sharded_pytree``."""
+    ckpt, saved = two_process_checkpoint
+    losses = _resume_in_process(ckpt, mesh=None)
+    np.testing.assert_allclose(losses, saved['uninterrupted_losses'][2:],
+                               rtol=1e-4)
+
+
+def test_restore_two_process_checkpoint_on_wider_model_axis(
+        two_process_checkpoint):
+    """Topology change: saved with model=2 row shards, restored with model=4.
+
+    Every restored shard is half of a saved shard -> the assembly path must
+    slice WITHIN saved pieces (not just concatenate whole ones)."""
+    from collie_tpu.parallel import make_mesh
+
+    ckpt, saved = two_process_checkpoint
+    losses = _resume_in_process(ckpt, mesh=make_mesh(model=4))
+    np.testing.assert_allclose(losses, saved['uninterrupted_losses'][2:],
+                               rtol=1e-4)
+
+
+def test_divergent_data_fails_loudly_at_fit_start():
+    """DDP-analog safety: if one process holds a different dataset, the
+    fit-start fingerprint all-gather must abort the run with a clear error
+    instead of training silently wrong (trainer.py fit preamble +
+    ``parallel/distributed.py::assert_same_across_processes``)."""
+    outs = _run_driver(['--mode', 'train', '--corrupt'],
+                       local_devices=4, num_processes=2, expect_ok=False)
+    assert any(rc != 0 for rc, _, _ in outs), 'corrupted fit did not fail'
+    combined = '\n'.join(err for _, _, err in outs)
+    assert 'differs across processes' in combined
