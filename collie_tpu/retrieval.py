@@ -5,10 +5,15 @@ The reference's only retrieval API is single-user full-catalog scoring
 score all items, sort in pandas, drop seen rows on the host).  This module is
 the production-serving counterpart the TPU rebuild adds:
 
-* **blockwise**: items are scored in tiles and a running top-k is merged per
-  tile (``lax.scan`` + ``lax.top_k``), so memory is ``O(batch * (k + tile))``
-  — the full ``[batch, num_items]`` score matrix is never materialized,
-  which is what makes 10M+-item catalogs feasible;
+* **dense fast path**: when the ``[batch, num_items]`` score block fits a
+  budget (``COLLIE_TPU_RETRIEVAL_DENSE_BUDGET_MB``, 512 default), score the
+  whole catalog in one HIGHEST-precision matmul and ``lax.top_k`` — measured
+  ~2.4x faster than every non-materializing path on the v5e
+  (``benchmarks/retrieval_results.json``);
+* **blockwise**: beyond the budget, items are scored in tiles and a running
+  top-k is merged per tile (``lax.scan`` + ``lax.top_k``), so memory is
+  ``O(batch * (k + tile))`` — the full ``[batch, num_items]`` score matrix
+  is never materialized, which is what makes 10M+-item catalogs feasible;
 * **seen filtering on device**: membership against the train/val CSR via
   segmented binary search (``pairs_in_csr``) masks interacted items to -inf
   inside the same fused program.  The CSR arrays are jit *arguments* (the same
@@ -22,6 +27,7 @@ the production-serving counterpart the TPU rebuild adds:
   candidates are all-gathered over ICI and merged — communication is
   ``O(devices * k)`` per user, independent of catalog size.
 """
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -98,20 +104,40 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
         return top_scores, top_ids
 
     if mesh is None:
-        pallas_fn = _maybe_pallas_retrieve(model, k, item_tile, filter_seen)
-        if pallas_fn is not None:
-            return pallas_fn
+        # Path selection, calibrated on the v5e (benchmarks/bench_retrieval.py,
+        # amortized in-jit timing): when the dense [B, num_items] score block
+        # fits the budget, XLA's fused matmul + lax.top_k is ~2.4x faster
+        # than BOTH non-materializing paths (1.6 vs 3.8 ms pallas / 7.0 ms
+        # tiled at 500k items, B=64; same ordering at 2M).  Beyond the
+        # budget the block cannot exist, and the Mosaic kernel is the
+        # fastest O(B*(k+tile))-memory path (1.8x the tiled scan).
+        dense_budget = int(os.environ.get(
+            'COLLIE_TPU_RETRIEVAL_DENSE_BUDGET_MB', '512')) * (1 << 20)
 
+        pallas_fn = _maybe_pallas_retrieve(model, k, item_tile, filter_seen)
         n_tiles = -(-num_items // item_tile)
 
         @jax.jit
         def _retrieve_jit(params, user_ids, seen=None):
+            B = user_ids.shape[0]
+            if B * num_items * 4 <= dense_budget:
+                item_ids = jnp.arange(num_items, dtype=jnp.int32)
+                scores = model.score_item_block(params, user_ids, item_ids)
+                if filter_seen:
+                    scores = jnp.where(
+                        _seen_mask(seen, user_ids, item_ids, num_items),
+                        NEG_INF, scores)
+                top_scores, top_ids = jax.lax.top_k(scores, k)
+                return top_ids, top_scores
             top_scores, top_ids = _local_topk(
                 params, user_ids, seen, 0, num_items, n_tiles)
             return top_ids, top_scores
 
         def retrieve(params, user_ids, seen=None):
             _require_seen(filter_seen, seen)
+            B = np.shape(user_ids)[0]
+            if pallas_fn is not None and B * num_items * 4 > dense_budget:
+                return pallas_fn(params, user_ids, seen)
             return _retrieve_jit(params, user_ids, seen)
 
         return retrieve

@@ -206,3 +206,31 @@ def test_build_retrieval_fn_filter_seen_requires_seen(trained_mf_model):
     users = np.arange(4)
     with pytest.raises(ValueError, match='filter_seen'):
         fn(trained_mf_model.params, users)
+
+
+def test_dense_and_blockwise_paths_agree(trained_mf_model, monkeypatch):
+    """The budget-selected dense fast path (whole-catalog matmul + top_k)
+    must return exactly what the non-materializing tiers return, with and
+    without seen filtering (retrieval.py path selection, round 4)."""
+    from collie_tpu.retrieval import build_retrieval_fn
+
+    users = np.array([0, 2, 5, 9])
+    outs = {}
+    for label, budget in (('dense', '512'), ('tiled', '0')):
+        monkeypatch.setenv('COLLIE_TPU_RETRIEVAL_DENSE_BUDGET_MB', budget)
+        for filter_seen in (False, True):
+            fn = build_retrieval_fn(trained_mf_model, k=10, item_tile=257,
+                                    filter_seen=filter_seen)
+            seen = None
+            if filter_seen:
+                csr = trained_mf_model.train_loader.mat.tocsr()
+                seen = (jax.numpy.asarray(csr.indptr),
+                        jax.numpy.asarray(csr.indices))
+            outs[(label, filter_seen)] = fn(trained_mf_model.params, users,
+                                            seen)
+    for filter_seen in (False, True):
+        d_ids, d_scores = outs[('dense', filter_seen)]
+        t_ids, t_scores = outs[('tiled', filter_seen)]
+        np.testing.assert_array_equal(np.asarray(d_ids), np.asarray(t_ids))
+        np.testing.assert_allclose(np.asarray(d_scores),
+                                   np.asarray(t_scores), rtol=1e-6)
