@@ -270,23 +270,29 @@ def main():
     import subprocess
     import tempfile
 
+    # The torch twin is CPU-bound and our stack is TPU-bound, so the two
+    # phases run concurrently: the torch worker subprocess trains its trials
+    # while this process drives the TPU.  Wall-clock ~= max(phases), not sum.
     t0 = time.perf_counter()
     with tempfile.NamedTemporaryFile(suffix='.json') as tmp:
-        subprocess.run([sys.executable, __file__, '--trials', str(args.trials),
-                        '--scale', args.scale, '--torch-worker', tmp.name],
-                       check=True)
+        proc = subprocess.Popen([sys.executable, __file__,
+                                 '--trials', str(args.trials),
+                                 '--scale', args.scale,
+                                 '--torch-worker', tmp.name])
+
+        train, val = build_split()
+        jax_runs = []
+        t1 = time.perf_counter()
+        for s in range(args.trials):
+            jax_runs.append(train_collie_tpu(train, val, seed=s))
+            print(f'collie_tpu seed {s}: {jax_runs[-1]}', flush=True)
+        jax_secs = time.perf_counter() - t1
+
+        if proc.wait() != 0:
+            raise RuntimeError('torch worker failed')
         with open(tmp.name) as f:
             torch_runs = json.load(f)
     torch_secs = time.perf_counter() - t0
-
-    train, val = build_split()
-    jax_runs = []
-
-    t1 = time.perf_counter()
-    for s in range(args.trials):
-        jax_runs.append(train_collie_tpu(train, val, seed=s))
-        print(f'collie_tpu seed {s}: {jax_runs[-1]}', flush=True)
-    jax_secs = time.perf_counter() - t1
 
     result = {
         'config': {'scale': args.scale, 'dim': DIM, 'lr': LR, 'bias_lr': BIAS_LR,
@@ -309,6 +315,18 @@ def main():
         gate = float(tvals.mean() - 5 * tvals.std())
         passed = bool(jvals.mean() >= gate)
         all_pass &= passed
+        # Paired-by-seed statistic: trial s on each side trains on the same
+        # data with seed s.  The RNG streams differ across frameworks, so the
+        # pairing removes only the shared split, not sampling noise — the
+        # Welch two-sample test is reported alongside as the primary check
+        # of whether the mean gap is distinguishable from run variance.
+        diffs = jvals - tvals
+        try:
+            from scipy import stats
+            t_paired, p_paired = stats.ttest_rel(jvals, tvals)
+            t_welch, p_welch = stats.ttest_ind(jvals, tvals, equal_var=False)
+        except Exception:
+            t_paired = p_paired = t_welch = p_welch = float('nan')
         result['metrics'][metric] = {
             'torch_mean': round(float(tvals.mean()), 5),
             'torch_std': round(float(tvals.std()), 5),
@@ -317,6 +335,12 @@ def main():
             'gate_torch_mean_minus_5_std': round(gate, 5),
             'ratio_vs_torch': round(float(jvals.mean() / tvals.mean()), 4),
             'pass': passed,
+            'paired_diff_mean': round(float(diffs.mean()), 5),
+            'paired_diff_std': round(float(diffs.std()), 5),
+            'paired_t': round(float(t_paired), 3),
+            'paired_p': round(float(p_paired), 4),
+            'welch_t': round(float(t_welch), 3),
+            'welch_p': round(float(p_welch), 4),
             'torch_runs': [round(float(v), 5) for v in tvals],
             'collie_tpu_runs': [round(float(v), 5) for v in jvals],
         }
