@@ -439,6 +439,21 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
 
         jitted = jax.jit(epoch_fn, donate_argnums=(0, 1))
     elif training:
+        # Fused table layout (MF only): carry ``[*, D+1]`` tables with the
+        # bias as the last column through the step scan.  The model's score
+        # hooks gather each fused row once and slice after the gather, so
+        # autodiff emits ONE backward scatter per table instead of two —
+        # and the step is priced by scatter count (docs/BENCHMARKS.md).
+        # Optimizer updates still run through the exact optax transforms on
+        # named slices (dense elementwise — cheap), so every optimizer
+        # configuration keeps its semantics bit-for-bit.
+        import os as _os
+        _fuse_env = _os.environ.get('COLLIE_TPU_FUSED_TABLES', 'auto')
+        fuse_tables = (_fuse_env != '0'
+                       and getattr(model, 'supports_fused_tables',
+                                   lambda: False)()
+                       and all(active))
+
         def epoch_fn(params, opt_states, data, base_rng, epoch_idx):
             rng = jax.random.fold_in(base_rng, epoch_idx)
             perm_rng, sample_rng, dropout_rng = jax.random.split(rng, 3)
@@ -451,6 +466,9 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                         p, batch, rng=jax.random.fold_in(dropout_rng, step_i),
                         training=True)
                 )(params)
+                if fuse_tables:
+                    params = model.unfuse_params(params)
+                    grads = model.unfuse_params(grads)
                 new_states = list(opt_states)
                 for i, spec in enumerate(specs):
                     if not active[i]:
@@ -461,10 +479,16 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                         sub_grads, opt_states[i], sub_params)
                     params = {**params,
                               **{k: sub_params[k] + updates[k] for k in spec.keys}}
+                if fuse_tables:
+                    params = model.fuse_params(params)
                 return (params, tuple(new_states), step_i + 1), loss
 
+            if fuse_tables:
+                params = model.fuse_params(params)
             (params, opt_states, _), losses = jax.lax.scan(
                 step, (params, opt_states, jnp.int32(0)), batches)
+            if fuse_tables:
+                params = model.unfuse_params(params)
             return params, opt_states, losses.mean()
 
         jitted = jax.jit(epoch_fn, donate_argnums=(0, 1))

@@ -1,0 +1,99 @@
+"""Fused [*, D+1] table layout (scan engine MF hot path) equivalence.
+
+The engine carries MF params as ``user_fused [U, D+1]`` / ``item_fused
+[I, D+1]`` (bias = last column) so the backward pass emits one scatter per
+table instead of two (``COLLIE_TPU_FUSED_TABLES``; see
+``training/scan_engine.py`` and the op-cost calibration in
+docs/BENCHMARKS.md).  Scoring math, rng streams, dropout mask shapes, and
+the optax update path are unchanged — these tests pin the fused layout to
+the named layout's exact trajectory, single-device and under a mesh.
+"""
+import numpy as np
+import pytest
+
+from tests.fixtures.model_fixtures import implicit_sets, implicit_train  # noqa: F401
+
+
+class _ListLogger:
+    def __init__(self):
+        self.epoch_losses = []
+
+    def log_metrics(self, metrics, step):
+        if 'train_loss_epoch' in metrics:
+            self.epoch_losses.append(float(metrics['train_loss_epoch']))
+
+
+def _fit(implicit_train, monkeypatch, fused: bool, mesh=None, **model_kw):
+    from collie_tpu.model import CollieTrainer, MatrixFactorizationModel
+
+    monkeypatch.setenv('COLLIE_TPU_FUSED_TABLES', '1' if fused else '0')
+    monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '0')   # force generic branch
+    model = MatrixFactorizationModel(train=implicit_train, embedding_dim=6,
+                                     lr=0.1, loss=model_kw.pop('loss', 'adaptive'),
+                                     seed=11, **model_kw)
+    logger = _ListLogger()
+    CollieTrainer(model, max_epochs=3, verbosity=0, seed=11, mesh=mesh,
+                  logger=logger).fit(model)
+    return model, logger.epoch_losses
+
+
+@pytest.mark.parametrize('loss', ['adaptive', 'bpr', 'warp'])
+def test_fused_tables_match_named_layout(implicit_train, monkeypatch, loss):
+    m0, l0 = _fit(implicit_train, monkeypatch, fused=False, loss=loss)
+    m1, l1 = _fit(implicit_train, monkeypatch, fused=True, loss=loss)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    for k in m0.params:
+        np.testing.assert_allclose(np.asarray(m1.params[k]),
+                                   np.asarray(m0.params[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def test_fused_tables_match_with_dropout(implicit_train, monkeypatch):
+    m0, l0 = _fit(implicit_train, monkeypatch, fused=False, dropout_p=0.3)
+    m1, l1 = _fit(implicit_train, monkeypatch, fused=True, dropout_p=0.3)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    for k in m0.params:
+        np.testing.assert_allclose(np.asarray(m1.params[k]),
+                                   np.asarray(m0.params[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def test_fused_tables_match_under_mesh(implicit_train, monkeypatch):
+    from collie_tpu.parallel import make_mesh
+
+    mesh = make_mesh(model=2)
+    m0, l0 = _fit(implicit_train, monkeypatch, fused=False, mesh=mesh)
+    m1, l1 = _fit(implicit_train, monkeypatch, fused=True, mesh=mesh)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    for k in m0.params:
+        np.testing.assert_allclose(np.asarray(m1.params[k]),
+                                   np.asarray(m0.params[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def test_bf16_models_stay_on_named_layout(implicit_train, monkeypatch):
+    """bf16 tables + f32 biases cannot concat without changing bias storage;
+    the gate must refuse (and the fit must still run on the named layout)."""
+    from collie_tpu.model import MatrixFactorizationModel
+
+    monkeypatch.setenv('COLLIE_TPU_FUSED_TABLES', '1')
+    model = MatrixFactorizationModel(train=implicit_train, embedding_dim=6,
+                                     lr=0.1, loss='bpr', seed=11,
+                                     embeddings_dtype='bfloat16')
+    assert not model.supports_fused_tables()
+    from collie_tpu.model import CollieTrainer
+    CollieTrainer(model, max_epochs=1, verbosity=0, seed=11).fit(model)
+
+
+def test_other_models_do_not_fuse(implicit_train):
+    """Subclasses (hybrid/cold-start inherit MF) must not take the fused
+    path — their extra params/stages are outside the fused contract."""
+    from collie_tpu.models.cold_start_matrix_factorization import ColdStartModel
+    from collie_tpu.model import MatrixFactorizationModel
+
+    class Sub(MatrixFactorizationModel):
+        pass
+
+    sub = Sub(train=implicit_train, embedding_dim=4, lr=0.1, loss='bpr',
+              seed=0)
+    assert not sub.supports_fused_tables()
