@@ -120,10 +120,15 @@ def main():
           flush=True)
 
     evaluate_in_batches([mapk], remapped, model, batch_size=512, verbose=False)  # warm
-    t0 = time.perf_counter()
-    mapk_s, mrr_s, auc_s = evaluate_in_batches([mapk, mrr, auc], remapped, model,
-                                               batch_size=512, verbose=False)
-    eval_secs = time.perf_counter() - t0
+    # best-of-3: a single ~0.1 s eval sits inside the tunnel's ~25 ms
+    # dispatch-noise band and published 768M vs 442M scores/s across runs
+    eval_secs = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mapk_s, mrr_s, auc_s = evaluate_in_batches([mapk, mrr, auc], remapped,
+                                                   model, batch_size=512,
+                                                   verbose=False)
+        eval_secs = min(eval_secs, time.perf_counter() - t0)
     items_per_sec = 5000 * args.num_items / eval_secs
     print(f'eval (5k users x {args.num_items:,} items): {eval_secs:.2f}s -> '
           f'{items_per_sec:,.0f} scores/sec', flush=True)
