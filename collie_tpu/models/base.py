@@ -42,6 +42,7 @@ from collie_tpu.config import enable_compilation_cache
 from collie_tpu.data import (BaseInteractions, ExplicitInteractions, Interactions,
                              InteractionsDataLoader)
 from collie_tpu.ops import losses as loss_lib
+from collie_tpu.ops.embeddings import embedding_lookup
 from collie_tpu.training.optimizers import OptimizerSpec, build_transform, split_bias_keys
 from collie_tpu.utils import get_random_seed
 
@@ -269,6 +270,67 @@ class BasePipeline:
         flat = self.score(params, jnp.tile(users, R), items.reshape(-1),
                           training=training, rng=rng)
         return flat.reshape(R, B)
+
+    # ------------------------------------ fused [*, D+1] table layout hooks
+    #
+    # The training step is priced by the NUMBER of backward scatter ops
+    # (docs/BENCHMARKS.md op-cost calibration: ~0.36 ms each, nearly
+    # independent of row count).  In the named layout every forward-used
+    # bias table costs an extra scatter per step for 1/(D+1)th of the data.
+    # Models that declare ``_FUSED_TABLE_SPEC`` let the scan engine repack
+    # ``(embeddings, biases)`` pairs as one ``[*, D+1]`` table (bias = last
+    # column); score hooks then gather each fused row ONCE and slice after
+    # the gather, so autodiff emits exactly one scatter per table.  Scoring
+    # math, rng streams, and the optax update path (which runs on the named
+    # layout — the engine unfuses around each optimizer application) are
+    # unchanged; ``tests/test_fused_tables.py`` pins exact-trajectory
+    # equivalence per supporting model.
+
+    #: ``((emb_key, bias_key, fused_key), ...)`` — empty = no fused layout.
+    _FUSED_TABLE_SPEC: tuple = ()
+
+    def supports_fused_tables(self) -> bool:
+        """Engine gate — overridden per supporting model (exact-type checked
+        there: subclasses may carry params outside the fused contract)."""
+        return False
+
+    def _fused_tables_ok(self, exact_type) -> bool:
+        """Shared gate body: exact type, a declared spec, and f32 tables
+        (bf16 tables + f32 biases cannot concat without silently changing
+        bias storage)."""
+        return (type(self) is exact_type
+                and bool(self._FUSED_TABLE_SPEC)
+                and (self.hparams.get('embeddings_dtype') or 'float32')
+                == 'float32')
+
+    def fuse_params(self, params):
+        """Named layout -> fused layout; non-table keys pass through."""
+        fused = dict(params)
+        for emb_key, bias_key, fused_key in self._FUSED_TABLE_SPEC:
+            fused[fused_key] = jnp.concatenate(
+                [fused.pop(emb_key), fused.pop(bias_key)[:, None]], axis=1)
+        return fused
+
+    def unfuse_params(self, fused):
+        """Fused layout -> named layout; non-table keys pass through."""
+        params = dict(fused)
+        for emb_key, bias_key, fused_key in self._FUSED_TABLE_SPEC:
+            tab = params.pop(fused_key)
+            params[emb_key] = tab[:, :-1]
+            params[bias_key] = tab[:, -1]
+        return params
+
+    @staticmethod
+    def _emb_bias_lookup(params, emb_key, bias_key, fused_key, ids):
+        """``(embedding rows, bias values)`` for ``ids`` under either layout.
+
+        Fused rows are gathered once and sliced post-gather — the slice is
+        free (it never re-touches HBM) and keeps the backward pass to one
+        scatter per table."""
+        if fused_key in params:
+            rows = embedding_lookup(params[fused_key], ids)
+            return rows[:, :-1], rows[:, -1]
+        return embedding_lookup(params[emb_key], ids), params[bias_key][ids]
 
     # ------------------------------------------------------------- loss setup
 

@@ -86,75 +86,32 @@ class MatrixFactorizationModel(BasePipeline):
             'item_biases': zero_embedding_init(num_items),
         }
 
-    # ---- fused table layout (scan-engine hot path) --------------------
-    #
-    # The training step is priced by the NUMBER of backward scatter ops
-    # (docs/BENCHMARKS.md op-cost calibration: ~0.36 ms each, nearly
-    # independent of row count).  In the named layout the bias tables cost
-    # two extra scatters per step for 1/33rd of the data.  The scan engine
-    # therefore repacks MF params as ``user_fused [U, D+1]`` /
-    # ``item_fused [I, D+1]`` (bias as the last column); these hooks detect
-    # the fused layout, gather each row ONCE and slice after the gather, so
-    # autodiff emits exactly one scatter per table.  Scoring math (order of
-    # operations, dropout mask shapes and rng stream) is identical to the
-    # named layout — `tests/test_fused_tables.py` pins the equivalence.
+    # ---- fused [*, D+1] table layout (scan-engine hot path) -----------
+    # Generic mechanism in ``BasePipeline`` (see the fused-layout section
+    # there); ``tests/test_fused_tables.py`` pins exact-trajectory
+    # equivalence fused vs named.
 
-    @staticmethod
-    def fuse_params(params):
-        """Named layout -> fused layout (f32 tables only)."""
-        return {
-            'user_fused': jnp.concatenate(
-                [params['user_embeddings'],
-                 params['user_biases'][:, None]], axis=1),
-            'item_fused': jnp.concatenate(
-                [params['item_embeddings'],
-                 params['item_biases'][:, None]], axis=1),
-        }
-
-    @staticmethod
-    def unfuse_params(fused):
-        """Fused layout -> named layout."""
-        return {
-            'user_embeddings': fused['user_fused'][:, :-1],
-            'user_biases': fused['user_fused'][:, -1],
-            'item_embeddings': fused['item_fused'][:, :-1],
-            'item_biases': fused['item_fused'][:, -1],
-        }
+    _FUSED_TABLE_SPEC = (
+        ('user_embeddings', 'user_biases', 'user_fused'),
+        ('item_embeddings', 'item_biases', 'item_fused'),
+    )
 
     def supports_fused_tables(self) -> bool:
-        """Engine gate: plain MF with f32 tables (bf16 biases stay f32, so
-        the concat would silently change bias storage)."""
-        return (type(self) is MatrixFactorizationModel
-                and (self.hparams.get('embeddings_dtype') or 'float32')
-                == 'float32')
+        return self._fused_tables_ok(MatrixFactorizationModel)
 
     def score(self, params, users, items, training=False, rng=None):
-        if 'user_fused' in params:
-            uf = embedding_lookup(params['user_fused'], users)
-            itf = embedding_lookup(params['item_fused'], items)
-            user_embeddings, user_b = uf[:, :-1], uf[:, -1]
-            item_embeddings, item_b = itf[:, :-1], itf[:, -1]
-            p = self.hparams.get('dropout_p', 0.0)
-            rng_u, rng_i = (jax.random.split(rng) if rng is not None
-                            else (None, None))
-            user_embeddings = dropout(rng_u, user_embeddings, p, training)
-            item_embeddings = dropout(rng_i, item_embeddings, p, training)
-            preds = ((user_embeddings * item_embeddings).sum(axis=1)
-                     + user_b + item_b)
-            return self._apply_y_range(preds)
-        user_embeddings = embedding_lookup(params['user_embeddings'], users)
-        item_embeddings = embedding_lookup(params['item_embeddings'], items)
+        user_embeddings, user_b = self._emb_bias_lookup(
+            params, 'user_embeddings', 'user_biases', 'user_fused', users)
+        item_embeddings, item_b = self._emb_bias_lookup(
+            params, 'item_embeddings', 'item_biases', 'item_fused', items)
 
         p = self.hparams.get('dropout_p', 0.0)
         rng_u, rng_i = (jax.random.split(rng) if rng is not None else (None, None))
         user_embeddings = dropout(rng_u, user_embeddings, p, training)
         item_embeddings = dropout(rng_i, item_embeddings, p, training)
 
-        preds = (
-            (user_embeddings * item_embeddings).sum(axis=1)
-            + params['user_biases'][users]
-            + params['item_biases'][items]
-        )
+        preds = ((user_embeddings * item_embeddings).sum(axis=1)
+                 + user_b + item_b)
         return self._apply_y_range(preds)
 
     def pairwise_scores(self, params, users, items, training=False, rng=None):
@@ -166,17 +123,10 @@ class MatrixFactorizationModel(BasePipeline):
         path's masks element-for-element."""
         R, B = items.shape
         flat_items = items.reshape(-1)
-        if 'user_fused' in params:
-            uf = embedding_lookup(params['user_fused'], users)
-            itf = embedding_lookup(params['item_fused'], flat_items)
-            user_embeddings, user_b = uf[:, :-1], uf[:, -1]
-            item_embeddings, item_b = itf[:, :-1], itf[:, -1]
-        else:
-            user_embeddings = embedding_lookup(params['user_embeddings'], users)
-            item_embeddings = embedding_lookup(params['item_embeddings'],
-                                               flat_items)
-            user_b = params['user_biases'][users]
-            item_b = params['item_biases'][flat_items]
+        user_embeddings, user_b = self._emb_bias_lookup(
+            params, 'user_embeddings', 'user_biases', 'user_fused', users)
+        item_embeddings, item_b = self._emb_bias_lookup(
+            params, 'item_embeddings', 'item_biases', 'item_fused', flat_items)
 
         rng_u, rng_i = (jax.random.split(rng) if rng is not None else (None, None))
         dots = tiled_dropout_dots(user_embeddings, item_embeddings, R, B,

@@ -88,9 +88,22 @@ class MLPMatrixFactorizationModel(BasePipeline):
         add_linear(params, 'predict', rngs[-1], input_size, 1, init='torch_default')
         return params
 
+    # fused [*, D+1] table layout (generic mechanism in ``BasePipeline``):
+    # the bias tables are forward-used here, so the named layout costs two
+    # extra backward scatters per step.  MLP weights pass through unfused.
+    _FUSED_TABLE_SPEC = (
+        ('user_embeddings', 'user_biases', 'user_fused'),
+        ('item_embeddings', 'item_biases', 'item_fused'),
+    )
+
+    def supports_fused_tables(self) -> bool:
+        return self._fused_tables_ok(MLPMatrixFactorizationModel)
+
     def score(self, params, users, items, training=False, rng=None):
-        user_embeddings = embedding_lookup(params['user_embeddings'], users)
-        item_embeddings = embedding_lookup(params['item_embeddings'], items)
+        user_embeddings, user_b = self._emb_bias_lookup(
+            params, 'user_embeddings', 'user_biases', 'user_fused', users)
+        item_embeddings, item_b = self._emb_bias_lookup(
+            params, 'item_embeddings', 'item_biases', 'item_fused', items)
         x = jnp.concatenate([user_embeddings, item_embeddings], axis=-1)
 
         p = self.hparams.get('dropout_p', 0.0)
@@ -101,7 +114,7 @@ class MLPMatrixFactorizationModel(BasePipeline):
             x = dropout(layer_rng, x, p, training)
 
         mlp_output = jax.nn.sigmoid(linear(params, 'predict', x))[..., 0]
-        preds = mlp_output + params['user_biases'][users] + params['item_biases'][items]
+        preds = mlp_output + user_b + item_b
 
         y_range = self.hparams.get('y_range')
         if y_range is not None:

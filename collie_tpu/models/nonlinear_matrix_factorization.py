@@ -112,10 +112,23 @@ class NonlinearMatrixFactorizationModel(BasePipeline):
                 x = dropout(layer_rng, x, dense_p, training)
         return x
 
+    # fused [*, D+1] table layout (generic mechanism in ``BasePipeline``):
+    # biases are forward-used, so the named layout costs two extra backward
+    # scatters per step.  Tower weights pass through unfused.
+    _FUSED_TABLE_SPEC = (
+        ('user_embeddings', 'user_biases', 'user_fused'),
+        ('item_embeddings', 'item_biases', 'item_fused'),
+    )
+
+    def supports_fused_tables(self) -> bool:
+        return self._fused_tables_ok(NonlinearMatrixFactorizationModel)
+
     def score(self, params, users, items, training=False, rng=None):
         rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
-        user_x = embedding_lookup(params['user_embeddings'], users)
-        item_x = embedding_lookup(params['item_embeddings'], items)
+        user_x, user_b = self._emb_bias_lookup(
+            params, 'user_embeddings', 'user_biases', 'user_fused', users)
+        item_x, item_b = self._emb_bias_lookup(
+            params, 'item_embeddings', 'item_biases', 'item_fused', items)
         user_x = self._tower(params, 'user_dense', user_x,
                              len(self.hparams['user_dense_layers_dims']), training, rngs[0])
         item_x = self._tower(params, 'item_dense', item_x,
@@ -125,8 +138,7 @@ class NonlinearMatrixFactorizationModel(BasePipeline):
         user_x = dropout(rngs[2], user_x, emb_p, training)
         item_x = dropout(rngs[3], item_x, emb_p, training)
 
-        preds = ((user_x * item_x).sum(axis=1)
-                 + params['user_biases'][users] + params['item_biases'][items])
+        preds = (user_x * item_x).sum(axis=1) + user_b + item_b
 
         y_range = self.hparams.get('y_range')
         if y_range is not None:
@@ -146,17 +158,18 @@ class NonlinearMatrixFactorizationModel(BasePipeline):
                                            training=training, rng=rng)
         R, B = items.shape
         flat_items = items.reshape(-1)
+        user_rows, user_b = self._emb_bias_lookup(
+            params, 'user_embeddings', 'user_biases', 'user_fused', users)
+        item_rows, item_b = self._emb_bias_lookup(
+            params, 'item_embeddings', 'item_biases', 'item_fused', flat_items)
         user_x = self._tower(
-            params, 'user_dense',
-            embedding_lookup(params['user_embeddings'], users),
+            params, 'user_dense', user_rows,
             len(self.hparams['user_dense_layers_dims']), False, None)
         item_x = self._tower(
-            params, 'item_dense',
-            embedding_lookup(params['item_embeddings'], flat_items),
+            params, 'item_dense', item_rows,
             len(self.hparams['item_dense_layers_dims']), False, None)
         preds = (jnp.einsum('bd,rbd->rb', user_x, item_x.reshape(R, B, -1))
-                 + params['user_biases'][users][None, :]
-                 + params['item_biases'][flat_items].reshape(R, B))
+                 + user_b[None, :] + item_b.reshape(R, B))
         y_range = self.hparams.get('y_range')
         if y_range is not None:
             preds = jax.nn.sigmoid(preds) * (y_range[1] - y_range[0]) + y_range[0]

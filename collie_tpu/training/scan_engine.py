@@ -439,7 +439,8 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
 
         jitted = jax.jit(epoch_fn, donate_argnums=(0, 1))
     elif training:
-        # Fused table layout (MF only): carry ``[*, D+1]`` tables with the
+        # Fused table layout (models declaring ``_FUSED_TABLE_SPEC``: MF,
+        # MLP-MF, Nonlinear-MF): carry ``[*, D+1]`` tables with the
         # bias as the last column through the step scan.  The model's score
         # hooks gather each fused row once and slice after the gather, so
         # autodiff emits ONE backward scatter per table instead of two —

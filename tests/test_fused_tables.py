@@ -23,14 +23,16 @@ class _ListLogger:
             self.epoch_losses.append(float(metrics['train_loss_epoch']))
 
 
-def _fit(implicit_train, monkeypatch, fused: bool, mesh=None, **model_kw):
+def _fit(implicit_train, monkeypatch, fused: bool, mesh=None, cls=None,
+         **model_kw):
     from collie_tpu.model import CollieTrainer, MatrixFactorizationModel
 
     monkeypatch.setenv('COLLIE_TPU_FUSED_TABLES', '1' if fused else '0')
     monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '0')   # force generic branch
-    model = MatrixFactorizationModel(train=implicit_train, embedding_dim=6,
-                                     lr=0.1, loss=model_kw.pop('loss', 'adaptive'),
-                                     seed=11, **model_kw)
+    cls = cls or MatrixFactorizationModel
+    model = cls(train=implicit_train, embedding_dim=6,
+                lr=0.1, loss=model_kw.pop('loss', 'adaptive'),
+                seed=11, **model_kw)
     logger = _ListLogger()
     CollieTrainer(model, max_epochs=3, verbosity=0, seed=11, mesh=mesh,
                   logger=logger).fit(model)
@@ -64,6 +66,45 @@ def test_fused_tables_match_under_mesh(implicit_train, monkeypatch):
     mesh = make_mesh(model=2)
     m0, l0 = _fit(implicit_train, monkeypatch, fused=False, mesh=mesh)
     m1, l1 = _fit(implicit_train, monkeypatch, fused=True, mesh=mesh)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    for k in m0.params:
+        np.testing.assert_allclose(np.asarray(m1.params[k]),
+                                   np.asarray(m0.params[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def _zoo_classes():
+    from collie_tpu.models.mlp_matrix_factorization import MLPMatrixFactorizationModel
+    from collie_tpu.models.nonlinear_matrix_factorization import NonlinearMatrixFactorizationModel
+    return {'mlp': MLPMatrixFactorizationModel,
+            'nonlinear': NonlinearMatrixFactorizationModel}
+
+
+@pytest.mark.parametrize('which', ['mlp', 'nonlinear'])
+def test_fused_tables_extended_zoo(implicit_train, monkeypatch, which):
+    """MLP-MF and Nonlinear-MF declare the same fused spec (their bias
+    tables are forward-used); dense tower/MLP weights pass through unfused.
+    Trajectories must match the named layout exactly."""
+    cls = _zoo_classes()[which]
+    m0, l0 = _fit(implicit_train, monkeypatch, fused=False, cls=cls)
+    assert m0.supports_fused_tables()
+    m1, l1 = _fit(implicit_train, monkeypatch, fused=True, cls=cls)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    for k in m0.params:
+        np.testing.assert_allclose(np.asarray(m1.params[k]),
+                                   np.asarray(m0.params[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def test_fused_tables_extended_zoo_dropout(implicit_train, monkeypatch):
+    """Dropout rng streams are drawn AFTER the fused gather/slice, so masks
+    must be identical between layouts (MLP-MF exercises the per-layer
+    fold_in stream)."""
+    cls = _zoo_classes()['mlp']
+    m0, l0 = _fit(implicit_train, monkeypatch, fused=False, cls=cls,
+                  dropout_p=0.3)
+    m1, l1 = _fit(implicit_train, monkeypatch, fused=True, cls=cls,
+                  dropout_p=0.3)
     np.testing.assert_allclose(l1, l0, rtol=1e-5)
     for k in m0.params:
         np.testing.assert_allclose(np.asarray(m1.params[k]),
