@@ -47,13 +47,18 @@ def bench_collie_tpu(train, test, epochs=10, batch_size=1024):
     # and host-sync overhead included
     trainer = CollieTrainer(model, max_epochs=epochs, verbosity=0, seed=42)
     trainer.fit(model)
-    model.hparams['num_epochs_completed'] = 0
-    model.hparams['seed'] = 42
-    model._setup_model()                        # fresh params, warm caches
-    trainer = CollieTrainer(model, max_epochs=epochs, verbosity=0, seed=42)
-    t0 = time.perf_counter()
-    trainer.fit(model)
-    steady_secs = time.perf_counter() - t0
+    # best-of-3 fresh fits: the whole fit is ONE dispatch, so the ~24 ms
+    # tunnel round trip is 10-18% of a single 0.13 s gate-config fit —
+    # same hygiene as bench_ml10m_scale's eval timing
+    steady_secs = float('inf')
+    for _ in range(3):
+        model.hparams['num_epochs_completed'] = 0
+        model.hparams['seed'] = 42
+        model._setup_model()                    # fresh params, warm caches
+        trainer = CollieTrainer(model, max_epochs=epochs, verbosity=0, seed=42)
+        t0 = time.perf_counter()
+        trainer.fit(model)
+        steady_secs = min(steady_secs, time.perf_counter() - t0)
     examples = len(train) * epochs
     examples_per_sec = examples / steady_secs
 

@@ -119,6 +119,35 @@ class DeepFM(BasePipeline):
         prediction = fm_output + mlp_output
         return apply_final_layer(prediction, self._resolved_final_layer())
 
+    def pairwise_scores(self, params, users, items, training=False, rng=None):
+        """Tile-AFTER-gather fast path: user rows gathered once ``[B, d]``
+        and tiled on-chip instead of gathering ``R`` copies.  FM term, MLP,
+        rng stream, and final layer identical to ``score`` at the tiled
+        shape, so outputs equal the base hook element-for-element incl.
+        dropout; the backward's user-table scatter shrinks from R*B to B
+        rows."""
+        R, B = items.shape
+        flat_items = items.reshape(-1)
+        user_embeddings = jnp.tile(
+            embedding_lookup(params['user_embeddings'], users), (R, 1))
+        item_embeddings = embedding_lookup(params['item_embeddings'], flat_items)
+
+        embedding_sum = user_embeddings + item_embeddings
+        embedding_squared_sum = jnp.square(user_embeddings) + jnp.square(item_embeddings)
+        fm_output = (embedding_sum - embedding_squared_sum).sum(axis=1)
+
+        x = jnp.concatenate([user_embeddings, item_embeddings], axis=-1)
+        p = self.hparams.get('dropout_p', 0.0)
+        for i in range(self.hparams['num_layers']):
+            x = jax.nn.relu(linear(params, f'mlp_{i}', x))
+            layer_rng = jax.random.fold_in(rng, i) if rng is not None else None
+            x = dropout(layer_rng, x, p, training)
+        mlp_output = linear(params, 'predict', x)[..., 0]
+
+        prediction = fm_output + mlp_output
+        return apply_final_layer(
+            prediction, self._resolved_final_layer()).reshape(R, B)
+
     def _get_item_embeddings(self) -> jnp.ndarray:
         return self.params['item_embeddings']
 

@@ -111,6 +111,35 @@ class NeuralCollaborativeFiltering(BasePipeline):
         prediction = linear(params, 'predict', concat)[..., 0]
         return apply_final_layer(prediction, self._resolved_final_layer())
 
+    def pairwise_scores(self, params, users, items, training=False, rng=None):
+        """Tile-AFTER-gather fast path: both user tables (cf + mlp) gathered
+        once ``[B, d]`` and tiled on-chip instead of gathering ``R`` copies
+        of every row.  Same MLP / rng stream / final layer as ``score`` at
+        the tiled shape, so outputs equal the base hook element-for-element
+        incl. dropout; the backward's user-table scatters shrink from R*B
+        to B rows each."""
+        R, B = items.shape
+        flat_items = items.reshape(-1)
+        user_cf = embedding_lookup(params['user_embeddings_cf'], users)
+        user_mlp = embedding_lookup(params['user_embeddings_mlp'], users)
+        output_cf = (jnp.tile(user_cf, (R, 1))
+                     * embedding_lookup(params['item_embeddings_cf'], flat_items))
+
+        x = jnp.concatenate([
+            jnp.tile(user_mlp, (R, 1)),
+            embedding_lookup(params['item_embeddings_mlp'], flat_items),
+        ], axis=-1)
+        p = self.hparams.get('dropout_p', 0.0)
+        for i in range(self.hparams['num_layers']):
+            layer_rng = jax.random.fold_in(rng, i) if rng is not None else None
+            x = dropout(layer_rng, x, p, training)
+            x = jax.nn.relu(linear(params, f'mlp_{i}', x))
+
+        concat = jnp.concatenate([output_cf, x], axis=-1)
+        prediction = linear(params, 'predict', concat)[..., 0]
+        return apply_final_layer(
+            prediction, self._resolved_final_layer()).reshape(R, B)
+
     def _get_item_embeddings(self) -> jnp.ndarray:
         return jnp.concatenate([self.params['item_embeddings_cf'],
                                 self.params['item_embeddings_mlp']], axis=1)

@@ -159,9 +159,60 @@ def test_hybrid_override_matches_default_per_stage(train):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize('which', ['mlp_mf', 'ncf', 'deep_fm'])
+def test_mlp_family_override_matches_default(train, which):
+    """Tile-after-gather fast paths (MLP-MF / NCF / DeepFM): user rows are
+    gathered once and tiled on-chip; the MLP runs at the tiled shape with
+    the identical rng stream, so outputs equal the base hook element for
+    element — including under dropout (masks drawn at the same [R*B, .]
+    shapes from the same splits)."""
+    from collie_tpu.model import (DeepFM, MLPMatrixFactorizationModel,
+                                  NeuralCollaborativeFiltering)
+
+    cls = {'mlp_mf': MLPMatrixFactorizationModel,
+           'ncf': NeuralCollaborativeFiltering,
+           'deep_fm': DeepFM}[which]
+    model = cls(train=train, embedding_dim=8, seed=7)
+    users, items = _ids(model)
+    got = model.pairwise_scores(model.params, users, items)
+    want = _default_hook(model, model.params, users, items)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    model_dp = cls(train=train, embedding_dim=8, seed=7, dropout_p=0.35)
+    rng = jax.random.PRNGKey(5)
+    got_dp = model_dp.pairwise_scores(model_dp.params, users, items,
+                                      training=True, rng=rng)
+    want_dp = _default_hook(model_dp, model_dp.params, users, items,
+                            training=True, rng=rng)
+    np.testing.assert_allclose(np.asarray(got_dp), np.asarray(want_dp),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mlp_family_override_gradients_match_default(train):
+    """Grads through the tile (sum over R) must equal the tiled path's
+    scatter accumulation (float-associativity tolerance)."""
+    from collie_tpu.model import MLPMatrixFactorizationModel
+
+    model = MLPMatrixFactorizationModel(train=train, embedding_dim=8, seed=7)
+    users, items = _ids(model)
+
+    def loss_via(fn):
+        def f(params):
+            s = fn(model, params, users, items)
+            return jnp.sum(jnp.tanh(s))
+        return jax.grad(f)(model.params)
+
+    g_override = loss_via(type(model).pairwise_scores)
+    g_default = loss_via(_default_hook)
+    for key in g_default:
+        np.testing.assert_allclose(np.asarray(g_override[key]),
+                                   np.asarray(g_default[key]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key)
+
+
 def test_default_hook_shape_for_tower_model(train):
-    """Tower models (no override) run the tiled default; R=1 degenerates to
-    a [1, B] row matching score()."""
+    """R=1 degenerates to a [1, B] row matching score()."""
     from collie_tpu.model import NeuralCollaborativeFiltering
 
     model = NeuralCollaborativeFiltering(train=train, embedding_dim=8, seed=7)
