@@ -146,7 +146,10 @@ def main():
     ml10m_path = here / 'ml10m_scale_results.json'
     if ml10m_path.exists():
         with open(ml10m_path) as f:
-            measured['ml10m'] = json.load(f)['train_examples_per_sec_per_chip']
+            ml10m = json.load(f)
+        measured['ml10m'] = ml10m['train_examples_per_sec_per_chip']
+        # the floor must be priced at the batch size the artifact ran with
+        CONFIGS['ml10m']['B'] = int(ml10m['config']['batch_size'])
     if args.gate_ex_per_sec:
         measured['gate'] = args.gate_ex_per_sec
 
