@@ -35,9 +35,10 @@ def main():
     parser.add_argument('--num-users', type=int, default=72_000)
     parser.add_argument('--num-items', type=int, default=10_000)
     parser.add_argument('--num-interactions', type=int, default=10_000_000)
-    # 32768 beats 8192 on BOTH throughput (4.43M vs 3.25M ex/s) and quality
-    # (MAP@10 0.0275 vs 0.0252) at this config — see docs/BENCHMARKS.md
-    parser.add_argument('--batch-size', type=int, default=32768)
+    # batch sweep at this config: 8192 -> 3.25M ex/s / MAP 0.0252;
+    # 32768 -> 4.43M / 0.0275; 65536 -> 4.64M / 0.0276 (peak, wins both
+    # axes); 131072 -> 4.63M (saturated) — see docs/BENCHMARKS.md
+    parser.add_argument('--batch-size', type=int, default=65536)
     parser.add_argument('--embedding-dim', type=int, default=32)
     parser.add_argument('--affinity-bias', type=float, default=3.0,
                         help='affinity-dependent observation bias in the '
