@@ -113,6 +113,16 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
         # fastest O(B*(k+tile))-memory path (1.8x the tiled scan).
         dense_budget = int(os.environ.get(
             'COLLIE_TPU_RETRIEVAL_DENSE_BUDGET_MB', '512')) * (1 << 20)
+        # The budget prices ONLY the [B, num_items] score block — sound for
+        # models whose score_item_block is a real matmul override, but the
+        # BASE hook vmaps score() over users, and for MLP-family models one
+        # un-tiled call materializes [B, num_items, layer_width]
+        # intermediates that dwarf the block (13 GB at B=256, 200k items,
+        # width 64).  Those models stay on the tiled paths, which bound the
+        # same intermediates at [B, item_tile, width].
+        from collie_tpu.models.base import BasePipeline
+        dense_ok = (type(model).score_item_block
+                    is not BasePipeline.score_item_block)
 
         pallas_fn = _maybe_pallas_retrieve(model, k, item_tile, filter_seen)
         n_tiles = -(-num_items // item_tile)
@@ -120,7 +130,7 @@ def build_retrieval_fn(model, k: int = 10, item_tile: int = 4096,
         @jax.jit
         def _retrieve_jit(params, user_ids, seen=None):
             B = user_ids.shape[0]
-            if B * num_items * 4 <= dense_budget:
+            if dense_ok and B * num_items * 4 <= dense_budget:
                 item_ids = jnp.arange(num_items, dtype=jnp.int32)
                 scores = model.score_item_block(params, user_ids, item_ids)
                 if filter_seen:
@@ -318,7 +328,10 @@ def recommend(model,
     if cache is None:
         cache = model._compiled_fn_cache = {}
     key = ('retrieval', model.current_stage, k, item_tile, filter_seen,
-           mesh)  # hashes by topology — no id-recycling alias
+           mesh,  # hashes by topology — no id-recycling alias
+           # baked into the built program at trace time — changing the
+           # budget between calls must rebuild, not reuse a stale path
+           os.environ.get('COLLIE_TPU_RETRIEVAL_DENSE_BUDGET_MB', '512'))
     if key not in cache:
         cache[key] = build_retrieval_fn(model, k=k, item_tile=item_tile,
                                         filter_seen=filter_seen, mesh=mesh)

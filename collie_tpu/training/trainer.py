@@ -229,10 +229,11 @@ class CollieTrainer:
             os.environ.get('COLLIE_TPU_SAMPLER', 'auto'))
         path_flags = (model._sparse_selection_enabled(),
                       os.environ.get('COLLIE_TPU_FUSED_EPOCH', 'auto'),
+                      os.environ.get('COLLIE_TPU_FUSED_TABLES', 'auto'),
                       *sampler_flags)
-        # the fused-epoch gate never affects a training=False program, so
-        # val keys use the val-relevant subset (a FUSED_EPOCH toggle must
-        # not force a 30-90 s recompile of a bit-identical val program)
+        # the fused-epoch/fused-tables gates never affect a training=False
+        # program, so val keys use the val-relevant subset (toggling them
+        # must not force a 30-90 s recompile of a bit-identical val program)
         val_flags = (model._sparse_selection_enabled(), *sampler_flags)
         # loss semantics baked into traced programs as constants (weight
         # decay in optimizer transforms, y_range/dropout in score(), the

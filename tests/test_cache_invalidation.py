@@ -120,6 +120,46 @@ def test_scan_cache_rebuilds_for_new_loader(implicit_train):
     assert model._compiled_fn_cache[key][loader_a] is built_a
 
 
+def test_fused_tables_flag_misses_cache(implicit_train, monkeypatch):
+    """COLLIE_TPU_FUSED_TABLES is baked into the traced epoch program, so
+    flipping it between fits must key a NEW program, not silently reuse the
+    previous layout (round-4 review finding — same class as FUSED_EPOCH)."""
+    loader = InteractionsDataLoader(interactions=implicit_train,
+                                    batch_size=1024, shuffle=True, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=4, seed=0)
+    trainer = CollieTrainer(model, max_epochs=1, verbosity=0, seed=0)
+
+    monkeypatch.setenv('COLLIE_TPU_FUSED_TABLES', '1')
+    trainer.fit(model)
+    keys_fused = {k for k in model._compiled_fn_cache if k[0] == 'train'}
+
+    monkeypatch.setenv('COLLIE_TPU_FUSED_TABLES', '0')
+    trainer.max_epochs = 2
+    trainer.fit(model)
+    keys_named = {k for k in model._compiled_fn_cache if k[0] == 'train'}
+    assert keys_named - keys_fused, (
+        'toggling COLLIE_TPU_FUSED_TABLES did not key a new train program')
+
+
+def test_retrieval_dense_budget_misses_cache(implicit_train, monkeypatch):
+    """COLLIE_TPU_RETRIEVAL_DENSE_BUDGET_MB is baked into the built retrieve
+    fn; changing it between recommend() calls must rebuild (round-4 review
+    finding — a user lowering the budget to escape an OOM must not hit the
+    stale dense program)."""
+    model = MatrixFactorizationModel(train=implicit_train, embedding_dim=4,
+                                     seed=0)
+    monkeypatch.setenv('COLLIE_TPU_RETRIEVAL_DENSE_BUDGET_MB', '512')
+    ids_a, _ = recommend(model, user_ids=np.arange(4), k=3,
+                         filter_seen=False)
+    n_before = len(model._compiled_fn_cache)
+    monkeypatch.setenv('COLLIE_TPU_RETRIEVAL_DENSE_BUDGET_MB', '0')
+    ids_b, _ = recommend(model, user_ids=np.arange(4), k=3,
+                         filter_seen=False)
+    assert len(model._compiled_fn_cache) > n_before, (
+        'budget change reused the stale retrieval program')
+    np.testing.assert_array_equal(ids_a, ids_b)  # paths agree on results
+
+
 def test_match_lr_aval_roundtrip():
     """Checkpoint restore converts leaves through numpy, which can change the
     lr leaf's aval (dtype/weak_type); the trainer rebuilds it from the

@@ -11,16 +11,8 @@ the named layout's exact trajectory, single-device and under a mesh.
 import numpy as np
 import pytest
 
+from tests.fixtures.loggers import EpochLossLogger
 from tests.fixtures.model_fixtures import implicit_sets, implicit_train  # noqa: F401
-
-
-class _ListLogger:
-    def __init__(self):
-        self.epoch_losses = []
-
-    def log_metrics(self, metrics, step):
-        if 'train_loss_epoch' in metrics:
-            self.epoch_losses.append(float(metrics['train_loss_epoch']))
 
 
 def _fit(implicit_train, monkeypatch, fused: bool, mesh=None, cls=None,
@@ -33,7 +25,7 @@ def _fit(implicit_train, monkeypatch, fused: bool, mesh=None, cls=None,
     model = cls(train=implicit_train, embedding_dim=6,
                 lr=0.1, loss=model_kw.pop('loss', 'adaptive'),
                 seed=11, **model_kw)
-    logger = _ListLogger()
+    logger = EpochLossLogger()
     CollieTrainer(model, max_epochs=3, verbosity=0, seed=11, mesh=mesh,
                   logger=logger).fit(model)
     return model, logger.epoch_losses
@@ -129,6 +121,8 @@ def test_bf16_models_stay_on_named_layout(implicit_train, monkeypatch):
 def test_other_models_do_not_fuse(implicit_train):
     """Subclasses (hybrid/cold-start inherit MF) must not take the fused
     path — their extra params/stages are outside the fused contract."""
+    import numpy as _np
+
     from collie_tpu.models.cold_start_matrix_factorization import ColdStartModel
     from collie_tpu.model import MatrixFactorizationModel
 
@@ -138,3 +132,8 @@ def test_other_models_do_not_fuse(implicit_train):
     sub = Sub(train=implicit_train, embedding_dim=4, lr=0.1, loss='bpr',
               seed=0)
     assert not sub.supports_fused_tables()
+
+    buckets = _np.arange(implicit_train.num_items) % 3
+    cold = ColdStartModel(train=implicit_train, item_buckets=buckets,
+                          embedding_dim=4, seed=0)
+    assert not cold.supports_fused_tables()

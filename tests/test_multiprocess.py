@@ -125,13 +125,7 @@ def test_two_process_sharded_checkpoint_resume(tmp_path):
     assert all(wrote_2d), 'checkpoint I/O not spread across processes'
 
 
-class _ListLogger:
-    def __init__(self):
-        self.epoch_losses = []
-
-    def log_metrics(self, metrics, step):
-        if 'train_loss_epoch' in metrics:
-            self.epoch_losses.append(float(metrics['train_loss_epoch']))
+from tests.fixtures.loggers import EpochLossLogger as _ListLogger
 
 
 def _resume_in_process(ckpt, mesh):

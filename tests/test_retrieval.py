@@ -38,6 +38,46 @@ def test_recommend_filtered_matches_unseen_predictions(trained_mf_model):
     np.testing.assert_array_equal(top_ids[0], expected.index.values[:10])
 
 
+def test_dense_fast_path_gated_to_real_score_item_block(implicit_train,
+                                                        monkeypatch):
+    """The dense-budget check prices only the [B, num_items] score block.
+    For models on the BASE score_item_block (a vmapped score()), one
+    un-tiled call materializes [B, num_items, layer_width] MLP
+    intermediates, so they must stay on the tiled paths no matter the
+    budget (round-4 review finding: NCF at 200k items fit a 512 MB budget
+    while its intermediates needed ~13 GB)."""
+    from collie_tpu.model import (MatrixFactorizationModel,
+                                  NeuralCollaborativeFiltering)
+
+    monkeypatch.setenv('COLLIE_TPU_RETRIEVAL_DENSE_BUDGET_MB', '100000')
+    model = NeuralCollaborativeFiltering(train=implicit_train,
+                                         embedding_dim=4, seed=0)
+    # record call widths via an INSTANCE attribute: the gate inspects the
+    # class attribute, so the patch must not make the base hook look like a
+    # real override
+    widths = []
+    orig = model.score_item_block
+    model.score_item_block = lambda params, u, i, _o=orig: (
+        widths.append(int(i.shape[0])) or _o(params, u, i))
+    tile = 64
+    recommend(model, user_ids=np.arange(3), k=5, filter_seen=False,
+              item_tile=tile)
+    assert widths and max(widths) <= tile, (
+        f'base-hook model scored item blocks of width {max(widths)} — the '
+        'dense full-catalog path must be gated to real overrides')
+
+    # an MF model with the same budget takes the dense path (full catalog)
+    mf = MatrixFactorizationModel(train=implicit_train, embedding_dim=4,
+                                  seed=0)
+    mf_widths = []
+    mf_orig = mf.score_item_block
+    mf.score_item_block = lambda params, u, i, _o=mf_orig: (
+        mf_widths.append(int(i.shape[0])) or _o(params, u, i))
+    recommend(mf, user_ids=np.arange(3), k=5, filter_seen=False,
+              item_tile=tile)
+    assert max(mf_widths) == mf.hparams['num_items']
+
+
 def test_recommend_tile_size_invariance(trained_mf_model):
     users = np.array([0, 9])
     a_ids, a_scores = recommend(trained_mf_model, users, k=5, filter_seen=False,
