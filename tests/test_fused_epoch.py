@@ -382,6 +382,34 @@ def test_fused_envelope_respects_vmem_budget(implicit_train, monkeypatch):
     assert _config_for(big, loader, monkeypatch) is None
 
 
+def test_explicit_auto_prefers_fused_tables_scan(explicit_sets, monkeypatch):
+    """In auto mode the explicit pointwise kernel yields to the fused-tables
+    scan path (measured faster: 1.12M vs 1.00M ex/s,
+    benchmarks/explicit_results.json round 4); forcing '1' still engages
+    the kernel, and a named-layout scan (FUSED_TABLES=0) keeps it."""
+    train, _ = explicit_sets
+    loader = InteractionsDataLoader(interactions=train, batch_size=1024,
+                                    seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-2,
+                                     loss='mse', seed=0)
+    specs = model.optimizer_specs()
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+
+    monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', 'auto')
+    monkeypatch.delenv('COLLIE_TPU_FUSED_TABLES', raising=False)
+    assert _fused_epoch_config(model, specs, [True] * len(specs), loader,
+                               None) is None
+
+    monkeypatch.setenv('COLLIE_TPU_FUSED_TABLES', '0')
+    assert _fused_epoch_config(model, specs, [True] * len(specs), loader,
+                               None) is not None
+
+    monkeypatch.delenv('COLLIE_TPU_FUSED_TABLES', raising=False)
+    monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '1')
+    assert _fused_epoch_config(model, specs, [True] * len(specs), loader,
+                               None) is not None
+
+
 def test_fused_default_gating_is_tpu_only(implicit_train, monkeypatch):
     """COLLIE_TPU_FUSED_EPOCH=auto (the default) only engages on a TPU
     backend — CPU runs would pay interpret-mode cost for nothing."""
