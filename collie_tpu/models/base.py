@@ -324,12 +324,20 @@ class BasePipeline:
     def _emb_bias_lookup(params, emb_key, bias_key, fused_key, ids):
         """``(embedding rows, bias values)`` for ``ids`` under either layout.
 
+        ``ids`` may be any shape — rows come back as ``ids.shape + (d,)``,
+        biases as ``ids.shape``.  Structure-preserving gathers matter under
+        a mesh: flattening ``[R, B]`` candidate ids before the gather merges
+        the data-sharded batch dim into an unshardable axis, so GSPMD
+        replicates the gathered block on every device (measured: the full
+        ``[B*K, d+1]`` rows in a per-device all-reduce at the ML-10M config,
+        ``benchmarks/collective_account.py``).
+
         Fused rows are gathered once and sliced post-gather — the slice is
         free (it never re-touches HBM) and keeps the backward pass to one
         scatter per table."""
         if fused_key in params:
             rows = embedding_lookup(params[fused_key], ids)
-            return rows[:, :-1], rows[:, -1]
+            return rows[..., :-1], rows[..., -1]
         return embedding_lookup(params[emb_key], ids), params[bias_key][ids]
 
     # ------------------------------------------------------------- loss setup

@@ -186,23 +186,23 @@ class ColdStartModel(MultiStagePipeline):
         through the bucket assignment before the (bucket-)table gather."""
         R, B = items.shape
         user_embeddings = embedding_lookup(params['user_embeddings'], users)
-        flat = items.reshape(-1)
-
+        # 2-D ids straight through the (bucket-)mapping and gather — no
+        # flatten (structure preservation matters on a mesh; see
+        # BasePipeline._emb_bias_lookup)
         if self.hparams['stage'] == 'item_buckets':
-            flat = self._item_buckets_device[flat]
+            mapped = self._item_buckets_device[items]
             item_embeddings = embedding_lookup(
-                params['item_bucket_embeddings'], flat)
-            item_biases = params['item_bucket_biases'][flat]
+                params['item_bucket_embeddings'], mapped)
+            item_biases = params['item_bucket_biases'][mapped]
         else:
-            item_embeddings = embedding_lookup(params['item_embeddings'], flat)
-            item_biases = params['item_biases'][flat]
+            item_embeddings = embedding_lookup(params['item_embeddings'], items)
+            item_biases = params['item_biases'][items]
 
         rng_u, rng_i = (jax.random.split(rng) if rng is not None else (None, None))
         dots = tiled_dropout_dots(user_embeddings, item_embeddings, R, B,
                                   self.hparams.get('dropout_p', 0.0),
                                   training, rng_u, rng_i)
-        return (dots + params['user_biases'][users][None, :]
-                + item_biases.reshape(R, B))
+        return (dots + params['user_biases'][users][None, :] + item_biases)
 
     def item_bucket_item_similarity(self, item_bucket_id: int) -> pd.Series:
         """Cosine similarity of one bucket embedding against every item

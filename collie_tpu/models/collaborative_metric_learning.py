@@ -77,8 +77,9 @@ class CollaborativeMetricLearningModel(BasePipeline):
         user rows fetched once and broadcast against ``[R, B, d]`` item rows."""
         R, B = items.shape
         user_embeddings = embedding_lookup(params['user_embeddings'], users)
-        item_embeddings = embedding_lookup(
-            params['item_embeddings'], items.reshape(-1)).reshape(R, B, -1)
+        # 2-D ids straight into the gather — flattening would merge the
+        # data-sharded batch dim and replicate the block on a mesh
+        item_embeddings = embedding_lookup(params['item_embeddings'], items)
         diff = user_embeddings[None] - item_embeddings + 1e-6
         return jnp.sqrt(jnp.square(diff).sum(axis=-1))
 

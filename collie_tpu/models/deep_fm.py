@@ -121,20 +121,22 @@ class DeepFM(BasePipeline):
 
     def pairwise_scores(self, params, users, items, training=False, rng=None):
         """Tile-AFTER-gather fast path: user rows gathered once ``[B, d]``
-        and tiled on-chip instead of gathering ``R`` copies.  FM term, MLP,
-        rng stream, and final layer identical to ``score`` at the tiled
-        shape, so outputs equal the base hook element-for-element incl.
-        dropout; the backward's user-table scatter shrinks from R*B to B
-        rows."""
+        and broadcast on-chip instead of gathering ``R`` copies; item rows
+        gather with 2-D ids (structure-preserving — see
+        ``_emb_bias_lookup``).  FM term, MLP, rng stream, and final layer
+        identical to ``score`` per candidate pair at ``[R, B, .]``, so
+        outputs equal the base hook element-for-element incl. dropout; the
+        backward's user-table scatter shrinks from R*B to B rows."""
         R, B = items.shape
-        flat_items = items.reshape(-1)
-        user_embeddings = jnp.tile(
-            embedding_lookup(params['user_embeddings'], users), (R, 1))
-        item_embeddings = embedding_lookup(params['item_embeddings'], flat_items)
+        dim = self.hparams['embedding_dim']
+        user_embeddings = jnp.broadcast_to(
+            embedding_lookup(params['user_embeddings'], users)[None],
+            (R, B, dim))
+        item_embeddings = embedding_lookup(params['item_embeddings'], items)
 
         embedding_sum = user_embeddings + item_embeddings
         embedding_squared_sum = jnp.square(user_embeddings) + jnp.square(item_embeddings)
-        fm_output = (embedding_sum - embedding_squared_sum).sum(axis=1)
+        fm_output = (embedding_sum - embedding_squared_sum).sum(axis=-1)
 
         x = jnp.concatenate([user_embeddings, item_embeddings], axis=-1)
         p = self.hparams.get('dropout_p', 0.0)
@@ -145,8 +147,7 @@ class DeepFM(BasePipeline):
         mlp_output = linear(params, 'predict', x)[..., 0]
 
         prediction = fm_output + mlp_output
-        return apply_final_layer(
-            prediction, self._resolved_final_layer()).reshape(R, B)
+        return apply_final_layer(prediction, self._resolved_final_layer())
 
     def _get_item_embeddings(self) -> jnp.ndarray:
         return self.params['item_embeddings']

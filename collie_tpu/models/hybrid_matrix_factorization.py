@@ -240,14 +240,14 @@ class HybridModel(MultiStagePipeline):
                                            training=training, rng=rng)
         R, B = items.shape
         user_embeddings = embedding_lookup(params['user_embeddings'], users)
-        flat = items.reshape(-1)
-        item_embeddings = embedding_lookup(params['item_embeddings'], flat)
+        # 2-D ids straight into the gather (structure-preserving on a mesh)
+        item_embeddings = embedding_lookup(params['item_embeddings'], items)
         rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
         dots = tiled_dropout_dots(user_embeddings, item_embeddings, R, B,
                                   self.hparams.get('dropout_p', 0.0),
                                   training, rngs[0], rngs[1])
         return (dots + params['user_biases'][users][None, :]
-                + params['item_biases'][flat].reshape(R, B))
+                + params['item_biases'][items])
 
     def _get_item_embeddings(self) -> jnp.ndarray:
         return self.params['item_embeddings']

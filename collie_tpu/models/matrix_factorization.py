@@ -116,23 +116,25 @@ class MatrixFactorizationModel(BasePipeline):
 
     def pairwise_scores(self, params, users, items, training=False, rng=None):
         """Single-gather batched scoring: user rows ``[B, d]`` fetched once,
-        item rows ``[R*B, d]`` once, biases likewise — versus the base hook's
-        ``R``-fold tiled user gather.  Reproduces ``score()``'s math per
-        candidate, including dropout: masks are drawn at the tiled
-        ``[R*B, d]`` shape from the same rng split, so they equal the tiled
-        path's masks element-for-element."""
+        item rows ``[R, B, d]`` once (2-D ids, structure-preserving), biases
+        likewise — versus the base hook's ``R``-fold tiled user gather.
+        Reproduces ``score()``'s math per candidate, including dropout:
+        masks are drawn at the ``[R, B, d]`` shape from the same rng split
+        (row-major fill == the tiled ``[R*B, d]`` draw), so they equal the
+        tiled path's masks element-for-element."""
         R, B = items.shape
-        flat_items = items.reshape(-1)
         user_embeddings, user_b = self._emb_bias_lookup(
             params, 'user_embeddings', 'user_biases', 'user_fused', users)
+        # 2-D ids straight into the gather: [R, B, d] rows, no flatten (see
+        # _emb_bias_lookup on why structure preservation matters on a mesh)
         item_embeddings, item_b = self._emb_bias_lookup(
-            params, 'item_embeddings', 'item_biases', 'item_fused', flat_items)
+            params, 'item_embeddings', 'item_biases', 'item_fused', items)
 
         rng_u, rng_i = (jax.random.split(rng) if rng is not None else (None, None))
         dots = tiled_dropout_dots(user_embeddings, item_embeddings, R, B,
                                   self.hparams.get('dropout_p', 0.0),
                                   training, rng_u, rng_i)
-        preds = dots + user_b[None, :] + item_b.reshape(R, B)
+        preds = dots + user_b[None, :] + item_b
         return self._apply_y_range(preds)
 
     def _apply_y_range(self, preds):

@@ -124,19 +124,22 @@ class MLPMatrixFactorizationModel(BasePipeline):
     def pairwise_scores(self, params, users, items, training=False, rng=None):
         """Tile-AFTER-gather fast path: the base hook gathers ``R`` copies of
         every user row (``score`` on tiled ids); here user rows/biases are
-        gathered ONCE ``[B, d]`` and tiled on-chip to ``[R*B, d]``.  The MLP
-        still runs at the tiled shape (irreducible — every candidate pair needs
-        its own forward), with the identical per-layer rng stream, so outputs
-        equal the tiled path element-for-element incl. dropout masks; the
-        backward's user-table scatter shrinks from R*B to B rows."""
+        gathered ONCE ``[B, d]`` and broadcast on-chip to ``[R, B, d]``.
+        Item rows gather with 2-D ids (structure-preserving — see
+        ``_emb_bias_lookup`` on mesh sharding).  The MLP still runs per
+        candidate pair (irreducible) at ``[R, B, .]``, with the identical
+        per-layer rng stream; masks fill row-major so outputs equal the
+        tiled path element-for-element incl. dropout.  The backward's
+        user-table scatter shrinks from R*B to B rows."""
         R, B = items.shape
-        flat_items = items.reshape(-1)
         user_embeddings, user_b = self._emb_bias_lookup(
             params, 'user_embeddings', 'user_biases', 'user_fused', users)
         item_embeddings, item_b = self._emb_bias_lookup(
-            params, 'item_embeddings', 'item_biases', 'item_fused', flat_items)
-        x = jnp.concatenate([jnp.tile(user_embeddings, (R, 1)),
-                             item_embeddings], axis=-1)
+            params, 'item_embeddings', 'item_biases', 'item_fused', items)
+        dim = user_embeddings.shape[-1]
+        x = jnp.concatenate([
+            jnp.broadcast_to(user_embeddings[None], (R, B, dim)),
+            item_embeddings], axis=-1)
 
         p = self.hparams.get('dropout_p', 0.0)
         for i in range(self.hparams['num_layers']):
@@ -145,12 +148,12 @@ class MLPMatrixFactorizationModel(BasePipeline):
             x = dropout(layer_rng, x, p, training)
 
         mlp_output = jax.nn.sigmoid(linear(params, 'predict', x))[..., 0]
-        preds = mlp_output + jnp.tile(user_b, R) + item_b
+        preds = mlp_output + user_b[None, :] + item_b
 
         y_range = self.hparams.get('y_range')
         if y_range is not None:
             preds = jax.nn.sigmoid(preds) * (y_range[1] - y_range[0]) + y_range[0]
-        return preds.reshape(R, B)
+        return preds
 
     def _get_item_embeddings(self) -> jnp.ndarray:
         return self.params['item_embeddings']

@@ -113,21 +113,23 @@ class NeuralCollaborativeFiltering(BasePipeline):
 
     def pairwise_scores(self, params, users, items, training=False, rng=None):
         """Tile-AFTER-gather fast path: both user tables (cf + mlp) gathered
-        once ``[B, d]`` and tiled on-chip instead of gathering ``R`` copies
-        of every row.  Same MLP / rng stream / final layer as ``score`` at
-        the tiled shape, so outputs equal the base hook element-for-element
+        once ``[B, d]`` and broadcast on-chip instead of gathering ``R``
+        copies of every row; item rows gather with 2-D ids
+        (structure-preserving — see ``_emb_bias_lookup``).  Same MLP / rng
+        stream / final layer as ``score`` per candidate pair at
+        ``[R, B, .]``, so outputs equal the base hook element-for-element
         incl. dropout; the backward's user-table scatters shrink from R*B
         to B rows each."""
         R, B = items.shape
-        flat_items = items.reshape(-1)
         user_cf = embedding_lookup(params['user_embeddings_cf'], users)
         user_mlp = embedding_lookup(params['user_embeddings_mlp'], users)
-        output_cf = (jnp.tile(user_cf, (R, 1))
-                     * embedding_lookup(params['item_embeddings_cf'], flat_items))
+        output_cf = (user_cf[None]
+                     * embedding_lookup(params['item_embeddings_cf'], items))
 
+        mlp_dim = user_mlp.shape[-1]
         x = jnp.concatenate([
-            jnp.tile(user_mlp, (R, 1)),
-            embedding_lookup(params['item_embeddings_mlp'], flat_items),
+            jnp.broadcast_to(user_mlp[None], (R, B, mlp_dim)),
+            embedding_lookup(params['item_embeddings_mlp'], items),
         ], axis=-1)
         p = self.hparams.get('dropout_p', 0.0)
         for i in range(self.hparams['num_layers']):
@@ -137,8 +139,7 @@ class NeuralCollaborativeFiltering(BasePipeline):
 
         concat = jnp.concatenate([output_cf, x], axis=-1)
         prediction = linear(params, 'predict', concat)[..., 0]
-        return apply_final_layer(
-            prediction, self._resolved_final_layer()).reshape(R, B)
+        return apply_final_layer(prediction, self._resolved_final_layer())
 
     def _get_item_embeddings(self) -> jnp.ndarray:
         return jnp.concatenate([self.params['item_embeddings_cf'],

@@ -157,19 +157,20 @@ class NonlinearMatrixFactorizationModel(BasePipeline):
             return super().pairwise_scores(params, users, items,
                                            training=training, rng=rng)
         R, B = items.shape
-        flat_items = items.reshape(-1)
         user_rows, user_b = self._emb_bias_lookup(
             params, 'user_embeddings', 'user_biases', 'user_fused', users)
+        # 2-D ids straight into the gather; the item tower maps over the
+        # leading [R, B] dims unchanged (linear() contracts the last dim)
         item_rows, item_b = self._emb_bias_lookup(
-            params, 'item_embeddings', 'item_biases', 'item_fused', flat_items)
+            params, 'item_embeddings', 'item_biases', 'item_fused', items)
         user_x = self._tower(
             params, 'user_dense', user_rows,
             len(self.hparams['user_dense_layers_dims']), False, None)
         item_x = self._tower(
             params, 'item_dense', item_rows,
             len(self.hparams['item_dense_layers_dims']), False, None)
-        preds = (jnp.einsum('bd,rbd->rb', user_x, item_x.reshape(R, B, -1))
-                 + user_b[None, :] + item_b.reshape(R, B))
+        preds = (jnp.einsum('bd,rbd->rb', user_x, item_x)
+                 + user_b[None, :] + item_b)
         y_range = self.hparams.get('y_range')
         if y_range is not None:
             preds = jax.nn.sigmoid(preds) * (y_range[1] - y_range[0]) + y_range[0]

@@ -94,18 +94,22 @@ def tiled_dropout_dots(user_embeddings: jnp.ndarray,
                        training: bool,
                        rng_u,
                        rng_i) -> jnp.ndarray:
-    """``[R, B]`` dot products between ``[B, d]`` user rows and ``[R*B, d]``
+    """``[R, B]`` dot products between ``[B, d]`` user rows and ``[R, B, d]``
     item rows — the shared core of the table-models' ``pairwise_scores``
-    overrides. Under dropout, masks are drawn at the tiled ``[R*B, d]``
-    shape from the given rngs so results equal the base hook's tiled-user
-    path element-for-element (the override exists to skip the R-fold user
-    GATHER, not to change the math)."""
+    overrides.  The item rows keep their ``[R, B, d]`` structure (gathered
+    with 2-D ids): flattening to ``[R*B, d]`` before the gather would merge
+    the data-sharded batch dim into an unshardable axis and make GSPMD
+    replicate the block on every device of a mesh.
+
+    Under dropout, masks are drawn at the ``[R, B, d]`` shape from the given
+    rngs; the PRNG fills row-major over the same element count, so they
+    equal the base hook's tiled ``[R*B, d]`` masks element-for-element (the
+    override exists to skip the R-fold user GATHER, not to change the
+    math)."""
     if training and rate:
         dim = user_embeddings.shape[1]
-        tiled = jnp.broadcast_to(user_embeddings[None],
-                                 (R, B, dim)).reshape(R * B, dim)
+        tiled = jnp.broadcast_to(user_embeddings[None], (R, B, dim))
         tiled = dropout(rng_u, tiled, rate, training)
         item_embeddings = dropout(rng_i, item_embeddings, rate, training)
-        return (tiled * item_embeddings).sum(axis=1).reshape(R, B)
-    return jnp.einsum('bd,rbd->rb', user_embeddings,
-                      item_embeddings.reshape(R, B, -1))
+        return (tiled * item_embeddings).sum(axis=-1)
+    return jnp.einsum('bd,rbd->rb', user_embeddings, item_embeddings)
