@@ -161,3 +161,74 @@ def test_eval_scan_loop_no_table_allgather_at_scale(mesh8, big_model):
     ).compile().as_text()
     bad = _table_allgather_lines(txt)
     assert not bad, f'table-sized all-gather in sharded eval: {bad}'
+
+
+def test_train_step_collectives_stay_data_sharded():
+    """Regression guard for the round-4 flatten bug: every collective in the
+    sharded train program must operate on data-SHARDED blocks.  Flattening
+    ``[K, B]`` candidate ids to ``[K*B]`` before a table gather merges the
+    data-sharded batch dim into an unshardable axis, which made GSPMD
+    replicate the gathered ``[B*K, D+1]`` block on every device (an 88 MB
+    per-device all-reduce at the ML-10M config).  This lowers the ACTUAL
+    train program on a data=4 x model=2 mesh and asserts no collective's
+    per-device result exceeds the properly sharded lookup-psum size
+    (``K x B/data x (D+1)`` rows, with headroom for sibling tuple
+    elements)."""
+    from collie_tpu.training.scan_engine import build_scan_epoch_fns
+
+    mesh = make_mesh(data=4, model=2)
+    rng = np.random.default_rng(0)
+    n = 8_192
+    users = rng.integers(0, NUM_USERS, n)
+    items = rng.integers(0, NUM_ITEMS, n)
+    keys = users * NUM_ITEMS + items
+    _, keep = np.unique(keys, return_index=True)
+    inter = Interactions(users=users[keep], items=items[keep],
+                         allow_missing_ids=True,
+                         num_users=NUM_USERS, num_items=NUM_ITEMS,
+                         num_negative_samples=5, seed=0,
+                         check_num_negative_samples_is_valid=False)
+    loader = InteractionsDataLoader(interactions=inter, batch_size=BATCH,
+                                    shuffle=True, seed=0)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=DIM,
+                                     lr=1e-1, loss='adaptive', seed=0)
+    specs = model.optimizer_specs()
+    fn, data, S, _ = build_scan_epoch_fns(model, specs, [True] * len(specs),
+                                          loader, shuffle=True, mesh=mesh,
+                                          training=True)
+    params = shard_params(dict(model.params), mesh)
+    opt_states = tuple(
+        make_sharded_init(spec.transform, mesh)(
+            {k: params[k] for k in spec.keys})
+        for spec in specs)
+    txt = fn.lower(params, opt_states, data, jax.random.PRNGKey(0),
+                   np.int32(1)).compile().as_text()
+
+    K, n_data = 5, 4
+    # sharded lookup-psum block + generous 2x headroom for tuple siblings
+    limit = 2 * K * (BATCH // n_data) * (DIM + 1) * 4
+    shape_re = re.compile(r'f32\[([\d,]+)\]')
+    offenders, seen = [], 0
+    for line in txt.splitlines():
+        s = line.strip()
+        if ' = ' not in s:
+            continue
+        if not any(f' {op}(' in s or f' {op}-start(' in s
+                   for op in ('all-reduce', 'all-gather', 'reduce-scatter',
+                              'all-to-all')):
+            continue
+        seen += 1
+        result = s.split(' = ', 1)[1]
+        for dims in shape_re.findall(result.split('(')[0]):
+            count = 1
+            for d in dims.split(','):
+                count *= int(d)
+            if count * 4 > limit:
+                offenders.append(s[:160])
+                break
+    # guard the guard: a parse that sees no collectives at all would be
+    # vacuous (the model/table psum must appear in this program)
+    assert seen > 0, 'collective parser matched nothing — detector is vacuous'
+    assert not offenders, (
+        'oversized (replicated?) collective in sharded train program:\n'
+        + '\n'.join(offenders))
