@@ -88,6 +88,24 @@ def test_fused_tables_extended_zoo(implicit_train, monkeypatch, which):
                                    rtol=2e-5, atol=2e-6, err_msg=k)
 
 
+def test_fused_tables_extended_zoo_under_mesh(implicit_train, monkeypatch):
+    """MLP-MF fused-vs-named trajectory equality must also hold on a mesh
+    (the MLP weights replicate; only the tables fuse and shard)."""
+    from collie_tpu.parallel import make_mesh
+
+    cls = _zoo_classes()['mlp']
+    mesh = make_mesh(model=2)
+    m0, l0 = _fit(implicit_train, monkeypatch, fused=False, cls=cls,
+                  mesh=mesh)
+    m1, l1 = _fit(implicit_train, monkeypatch, fused=True, cls=cls,
+                  mesh=mesh)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    for k in m0.params:
+        np.testing.assert_allclose(np.asarray(m1.params[k]),
+                                   np.asarray(m0.params[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+
+
 def test_fused_tables_extended_zoo_dropout(implicit_train, monkeypatch):
     """Dropout rng streams are drawn AFTER the fused gather/slice, so masks
     must be identical between layouts (MLP-MF exercises the per-layer
