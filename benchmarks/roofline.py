@@ -12,11 +12,18 @@ fused ``[*, D+1]`` table layout — bias rides as the last column, so each
 table is gathered once and scattered once; see
 ``scan_engine.py::COLLIE_TPU_FUSED_TABLES``):
 
-  1 user-row gather [B, D+1],  item-row gathers [B pos + B*K neg +
-  B hardest, D+1],  the loss elementwise math,  ONE uniform [B, K] draw
+  1 user-row gather [B, D+1],  item-row gathers [B pos + K*B neg +
+  B hardest, D+1],  the loss elementwise math,  ONE uniform [K, B] draw
   (the sampler's irreducible entropy),  2 scatter-adds (user table B rows,
   item table 2B rows pos+hardest) and the dense Adam update over both
   tables + moments.
+
+Two structure corrections (round 4, ablation in docs/BENCHMARKS.md): the
+candidate block uses the ENGINE's ``[K, B, D+1]`` layout — the earlier
+``[B, K, D+1]`` floor was layout-pathological on the VPU (11.1 vs 6.1
+ms/step at the headline config) and overstated the floor — and the
+no-grad selection einsum runs bf16 with f32 accumulation, matching the
+engine's default ``COLLIE_TPU_BF16_SELECT`` path.
 
 What the floor deliberately EXCLUDES (the headroom gap): the exact
 sampler's comparison counts + dedup rounds, scheduler/early-stop
@@ -77,21 +84,24 @@ def floor_ms_per_step(cfg):
             (ut, it, mu, vu, mi, vi, k) = carry
             u, p = xs
             k, sub = jax.random.split(k)
-            negs = jax.random.randint(sub, (B, K), 0, I)       # sampler entropy
+            negs = jax.random.randint(sub, (K, B), 0, I)       # sampler entropy
 
             ue = jnp.take(ut, u, axis=0)                        # gather B rows
             pe = jnp.take(it, p, axis=0)                        # gather B rows
-            ne = jnp.take(it, negs.reshape(-1), axis=0)         # gather B*K rows
+            # half-width no-grad selection gather (engine default) — the
+            # engine's [K, B, D+1] layout, never flattened
+            ne = jnp.take(it.astype(jnp.bfloat16), negs, axis=0)
             # bias is column D of each gathered row — sliced post-gather
             pos = (ue[:, :D] * pe[:, :D]).sum(-1) + ue[:, D] + pe[:, D]
-            neb = ne.reshape(B, K, D + 1)
-            neg = jnp.einsum('bd,bkd->bk', ue[:, :D],
-                             neb[:, :, :D]) + neb[:, :, D]
-            hard = jnp.argmax(neg, axis=1)
-            hids = jnp.take_along_axis(negs, hard[:, None], axis=1)[:, 0]
+            neg = jnp.einsum('bd,kbd->kb', ue[:, :D].astype(jnp.bfloat16),
+                             ne[..., :D],
+                             preferred_element_type=jnp.float32) \
+                + ne[..., D].astype(jnp.float32)
+            hard = jnp.argmax(neg, axis=0)
+            hids = jnp.take_along_axis(negs, hard[None, :], axis=0)[0]
             he = jnp.take(it, hids, axis=0)                     # re-gather B
             # elementwise "gradient" rows with the loss shape
-            viol = jnp.maximum(0.0, 1.0 - (pos - neg.max(-1)))
+            viol = jnp.maximum(0.0, 1.0 - (pos - neg.max(0)))
             gu = (he - pe) * viol[:, None]
             gi = jnp.concatenate([-ue * viol[:, None], ue * viol[:, None]])
             rows = jnp.concatenate([p, hids])

@@ -271,6 +271,33 @@ class BasePipeline:
                           training=training, rng=rng)
         return flat.reshape(R, B)
 
+    def pairwise_scores_select(self,
+                               params: Dict[str, jnp.ndarray],
+                               users: jnp.ndarray,
+                               items: jnp.ndarray,
+                               training: bool = False,
+                               rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """No-grad candidate scoring used ONLY to pick the hardest (adaptive
+        losses) or first-violating (WARP) negative in ``calculate_loss``'s
+        sparse-backward rewrites — the gradient-carrying re-score of the
+        selected pair always runs through the f32 ``pairwise_scores``.
+
+        Default: ``stop_gradient(pairwise_scores(...))``.  Table models
+        override with a half-width (bf16) row gather + MXU dots with f32
+        accumulation: the ``[B, K, d]`` candidate block is the single
+        largest HBM term of the training step (floor ablation in
+        docs/BENCHMARKS.md), and rounding here can only change WHICH
+        negative is selected, never the gradient math."""
+        return jax.lax.stop_gradient(
+            self.pairwise_scores(params, users, items,
+                                 training=training, rng=rng))
+
+    @staticmethod
+    def _bf16_select_enabled() -> bool:
+        """Env ``COLLIE_TPU_BF16_SELECT=0`` forces the f32 selection pass
+        (part of the trainer's compiled-program cache key)."""
+        return os.environ.get('COLLIE_TPU_BF16_SELECT', 'auto') != '0'
+
     # ------------------------------------ fused [*, D+1] table layout hooks
     #
     # The training step is priced by the NUMBER of backward scatter ops
@@ -438,9 +465,8 @@ class BasePipeline:
                 # exact score ties (a measure-zero subgradient choice).
                 # Requires a deterministic score() - dropout would decouple the
                 # argmax pass from the re-scoring pass.
-                neg_preds_ng = jax.lax.stop_gradient(
-                    self.pairwise_scores(params, users, neg_items,
-                                         training=training, rng=rng_neg))
+                neg_preds_ng = self.pairwise_scores_select(
+                    params, users, neg_items, training=training, rng=rng_neg)
                 highest_idx = jnp.argmax(neg_preds_ng, axis=0)
                 hardest_items = neg_items[highest_idx, jnp.arange(B)]
                 # positive + hardest-negative scored in ONE pairwise call so
@@ -460,11 +486,10 @@ class BasePipeline:
                 # call) and re-score only positive + selected negative (one
                 # more pairwise call, so each table is gathered/scattered
                 # once).
-                all_ng = jax.lax.stop_gradient(
-                    self.pairwise_scores(
-                        params, users,
-                        jnp.concatenate([pos_items[None], neg_items], axis=0),
-                        training=training, rng=rng_neg))
+                all_ng = self.pairwise_scores_select(
+                    params, users,
+                    jnp.concatenate([pos_items[None], neg_items], axis=0),
+                    training=training, rng=rng_neg)
                 return loss_lib.warp_loss_sparse(
                     all_ng[0],
                     all_ng[1:],

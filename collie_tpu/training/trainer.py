@@ -230,6 +230,7 @@ class CollieTrainer:
         path_flags = (model._sparse_selection_enabled(),
                       os.environ.get('COLLIE_TPU_FUSED_EPOCH', 'auto'),
                       os.environ.get('COLLIE_TPU_FUSED_TABLES', 'auto'),
+                      model._bf16_select_enabled(),
                       *sampler_flags)
         # the fused-epoch/fused-tables gates never affect a training=False
         # program, so val keys use the val-relevant subset (toggling them

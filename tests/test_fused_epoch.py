@@ -286,11 +286,15 @@ def test_fused_explicit_user_bias_learns(explicit_sets, monkeypatch):
 
 def test_fused_epoch_through_trainer(implicit_train, monkeypatch):
     """Public-API check: CollieTrainer with the fused engine forced on
-    trains to the same params as with it forced off."""
+    trains to the same params as with it forced off.  BF16_SELECT is
+    pinned off: the Pallas kernel selects the hardest negative in f32
+    in-kernel, so the equivalence claim is against the f32-selection scan
+    (bf16 selection is covered by test_bf16_select.py)."""
     from collie_tpu.training.trainer import CollieTrainer
 
     def run(fused):
         monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '1' if fused else '0')
+        monkeypatch.setenv('COLLIE_TPU_BF16_SELECT', '0')
         model = MatrixFactorizationModel(train=implicit_train,
                                          embedding_dim=8, lr=1e-1,
                                          loss='adaptive', seed=0)

@@ -125,7 +125,10 @@ def test_sparse_warp_not_used_at_eval(implicit_train, monkeypatch):  # noqa: F81
     sparse WARP path makes two pairwise_scores calls (grad-free pos+negs,
     then the pos+selected re-score pair) and never calls score() directly;
     the dense eval path scores the positive via score() plus one
-    pairwise_scores call for all K negatives."""
+    pairwise_scores call for all K negatives.  BF16_SELECT is pinned off so
+    the selection pass routes through pairwise_scores (the default bf16
+    path has its own gather and would not increment the counter)."""
+    monkeypatch.setenv('COLLIE_TPU_BF16_SELECT', '0')
     loader = InteractionsDataLoader(interactions=implicit_train,
                                     batch_size=64, seed=0)
     model = MatrixFactorizationModel(train=loader, embedding_dim=8, lr=1e-1,
@@ -212,11 +215,15 @@ def test_env_flip_between_fits_uses_fresh_programs(implicit_train,
 
 def test_sparse_hardest_end_to_end_training(implicit_train, monkeypatch):  # noqa: F811
     """Whole fits through both paths land on statistically identical params
-    when gradients agree (same seeds, same data)."""
+    when gradients agree (same seeds, same data).  BF16_SELECT is pinned
+    off: the equivalence claim is about the sparse REWRITE (selection +
+    f32 re-score == dense autodiff); bf16 selection intentionally rounds
+    WHICH negative is picked and is covered by test_bf16_select.py."""
     from collie_tpu.training import CollieTrainer
 
     def run(flag):
         monkeypatch.setenv('COLLIE_TPU_SPARSE_ADAPTIVE', flag)
+        monkeypatch.setenv('COLLIE_TPU_BF16_SELECT', '0')
         loader = InteractionsDataLoader(interactions=implicit_train,
                                         batch_size=1024, shuffle=True, seed=0)
         model = MatrixFactorizationModel(train=loader, embedding_dim=8,
