@@ -235,7 +235,10 @@ def complement_sample_negatives_bucketed_impl(rng: jax.Array,
 
     def count_grouped(r):
         """|{j: shifted <= r}| per (grouped slot, draw): bucket by bucket at
-        each bucket's own width, over contiguous slices of ``r``."""
+        each bucket's own width, over contiguous slices of ``r`` (draw
+        width ``r.shape[-1]`` — K for the base draws, K + spares when the
+        dedup spares ride the same pass)."""
+        width = r.shape[-1]
         outs = []
         off = 0
         for row_idx_b, table_b in bucket_specs:
@@ -247,27 +250,50 @@ def complement_sample_negatives_bucketed_impl(rng: jax.Array,
                 row_c, r_c = args
                 rows_c = _table[row_c]                     # [c, P_b]
                 return jnp.sum(rows_c[:, None, :] <= r_c[:, :, None],
-                               axis=-1, dtype=jnp.int32)   # [c, K]
+                               axis=-1, dtype=jnp.int32)   # [c, width]
 
             if nb <= chunk:
                 outs.append(one_chunk((row_idx_b, r_b)))
             else:
                 outs.append(jax.lax.map(
                     one_chunk, (row_idx_b.reshape(-1, chunk),
-                                r_b.reshape(-1, chunk, K))).reshape(nb, K))
+                                r_b.reshape(-1, chunk, width))
+                ).reshape(nb, width))
         return jnp.concatenate(outs, axis=0)
 
-    def draw(draw_rng, negatives, redraw_mask):
-        u01 = jax.random.uniform(draw_rng, (N_g, K))
-        r = jnp.minimum((u01 * sizes).astype(jnp.int32), sizes - 1)
-        return jnp.where(redraw_mask, r + count_grouped(r), negatives)
+    # Dedup via SPARES, not redraw passes: each dedup round pre-draws 2
+    # spare iid complement values per row INSIDE the one comparison-count
+    # pass (cost is linear in draw count: +2/K ≈ +20% for K=10), then
+    # substitutes the i-th within-row duplicate with the i-th spare — pure
+    # elementwise work, no second count pass.  The dense redraw design this
+    # replaces paid a full [N_g, K] count per round (1.4 ms of the 2.5 ms
+    # sampler at the ML-10M headline config).  Spares are iid uniforms over
+    # the complement, assigned independently of the duplicate pattern, so
+    # the joint distribution matches the redraw design (the rng stream
+    # differs — marginals and independence are what the MAP@10 A/Bs pinned,
+    # see docs/BENCHMARKS.md sorted-vs-iid note).  A spare colliding with a
+    # kept value (or spares colliding) leaves a residual duplicate — the
+    # same accepted residual as a redraw-round miss.
+    SPARES_PER_ROUND = 2
+    n_spares = SPARES_PER_ROUND * dedup_rounds
+    W = K + n_spares
 
-    rngs = jax.random.split(rng, 1 + dedup_rounds)
-    negatives = draw(rngs[0], jnp.zeros((N_g, K), jnp.int32),
-                     jnp.ones((N_g, K), dtype=bool))
+    u01 = jax.random.uniform(rng, (N_g, W))
+    r = jnp.minimum((u01 * sizes).astype(jnp.int32), sizes - 1)
+    all_draws = r + count_grouped(r)                       # [N_g, W]
+    negatives = all_draws[:, :K]
     for round_idx in range(dedup_rounds):
-        dup = _duplicate_within_row_mask(negatives)
-        negatives = draw(rngs[1 + round_idx], negatives, dup)
+        spares = all_draws[:, K + round_idx * SPARES_PER_ROUND:
+                           K + (round_idx + 1) * SPARES_PER_ROUND]
+        dup = _duplicate_within_row_mask(negatives)        # [N_g, K]
+        # i-th duplicate in the row takes the i-th spare of this round —
+        # selected ELEMENTWISE over the two spare columns (take_along_axis
+        # here would be ~N_g*K single-element gathers, measured ~6x the
+        # whole count pass; see CLAUDE.md's take_along finding)
+        dup_rank = jnp.cumsum(dup, axis=1) - 1             # 0-based among dups
+        subst = jnp.where(dup_rank == 0, spares[:, :1], spares[:, 1:2])
+        use = dup & (dup_rank < SPARES_PER_ROUND)
+        negatives = jnp.where(use, subst, negatives)
     return negatives[pos_of[idx]]                          # the ONE reorder
 
 
