@@ -266,13 +266,26 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
             return put_replicated(np.asarray(x), mesh)
     else:
         _put_epoch = _put_table = jnp.asarray
+    # The epoch shuffle gathers the flat (row, col) arrays by a 10M-element
+    # permutation; 4-byte single-element random gathers are latency-bound
+    # (~66 ms per 10M-element gather on the v5e), so when the id space fits
+    # 31 bits the pair is PACKED into one int32 — one gather + two shifts
+    # instead of two gathers.  Bit-identical batches either way.
+    item_bits = max(int(inter.num_items - 1).bit_length(), 1)
+    packable = ((inter.num_users - 1) << item_bits | (inter.num_items - 1)) \
+        < 2 ** 31
     data = {
-        'rows': _put_epoch(inter.mat.row.astype(np.int32)),
-        'cols': _put_epoch(inter.mat.col.astype(np.int32)),
         'mask_flat': _put_epoch(np.concatenate([
             np.ones(n_used, dtype=np.float32),
             np.zeros(pad, dtype=np.float32)])),
     }
+    if packable:
+        data['packed'] = _put_epoch(
+            (inter.mat.row.astype(np.int64) << item_bits
+             | inter.mat.col.astype(np.int64)).astype(np.int32))
+    else:
+        data['rows'] = _put_epoch(inter.mat.row.astype(np.int32))
+        data['cols'] = _put_epoch(inter.mat.col.astype(np.int32))
     if explicit:
         data['ratings'] = _put_epoch(inter.mat.data.astype(np.float32))
     else:
@@ -324,24 +337,40 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         from jax.sharding import NamedSharding
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, data_spec))
 
+    import os as _os
+    # 'feistel' (default): O(n) elementwise keyed bijection — the sort
+    # behind jax.random.permutation costs 95 ms/epoch at n=10M (measured,
+    # ops/shuffle.py docstring).  'sort' keeps the lowered-sort shuffle
+    # (and its rng stream).  Part of the trainer's program cache key.
+    shuffle_kind = _os.environ.get('COLLIE_TPU_SHUFFLE', 'feistel')
+
     def _epoch_batches(data, perm_rng, sample_rng):
         """Materialize the whole epoch on device: shuffled [S, B] id blocks
         plus (for implicit data) all negatives pre-sampled in one fused pass."""
-        if shuffle:
+        if shuffle and shuffle_kind == 'feistel':
+            from collie_tpu.ops.shuffle import feistel_permutation
+            perm = feistel_permutation(perm_rng, n)[:n_used]
+        elif shuffle:
             perm = jax.random.permutation(perm_rng, n)[:n_used]
         else:
             perm = jnp.arange(n_used)
         idx = jnp.concatenate([perm, perm[:1].repeat(pad)]) if pad else perm
-        users_flat = data['rows'][idx]
+        if 'packed' in data:
+            pk = data['packed'][idx]
+            users_flat = pk >> item_bits
+            cols_flat = pk & ((1 << item_bits) - 1)
+        else:
+            users_flat = data['rows'][idx]
+            cols_flat = data['cols'][idx]
         batches = {
             'users': _constrain(users_flat.reshape(S, B)),
             'mask': _constrain(data['mask_flat'].reshape(S, B)),
         }
         if explicit:
-            batches['items'] = _constrain(data['cols'][idx].reshape(S, B))
+            batches['items'] = _constrain(cols_flat.reshape(S, B))
             batches['ratings'] = _constrain(data['ratings'][idx].reshape(S, B))
         else:
-            batches['pos_items'] = _constrain(data['cols'][idx].reshape(S, B))
+            batches['pos_items'] = _constrain(cols_flat.reshape(S, B))
             if exact and sampler_kind == 'bucketed':
                 negs = complement_sample_negatives_bucketed_impl(
                     sample_rng, idx, data['pos_of'], data['users_g'],

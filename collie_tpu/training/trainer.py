@@ -226,7 +226,8 @@ class CollieTrainer:
         import os
         sampler_flags = (
             os.environ.get('COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB'),
-            os.environ.get('COLLIE_TPU_SAMPLER', 'auto'))
+            os.environ.get('COLLIE_TPU_SAMPLER', 'auto'),
+            os.environ.get('COLLIE_TPU_SHUFFLE', 'feistel'))
         path_flags = (model._sparse_selection_enabled(),
                       os.environ.get('COLLIE_TPU_FUSED_EPOCH', 'auto'),
                       os.environ.get('COLLIE_TPU_FUSED_TABLES', 'auto'),
