@@ -1,0 +1,124 @@
+"""Microbench layout/dtype variants of the bucketed sampler's count pass.
+
+The count pass (|{j: shifted_j <= r}| per (grouped slot, draw)) measured
+290 ms/epoch at the ML-10M headline config — ~42 Gops/s of compare+add,
+two orders below VPU throughput and far below gather bandwidth, so the
+cost is the compare structure, not the row gathers.  Variants over the
+headline's biggest bucket (3.79M slots x P_b=128, W=12 draws):
+
+  base        rows[:, None, :] <= r[:, :, None], sum over last axis
+  lastW       rows[:, :, None] <= r[:, None, :], sum over axis 1
+              (reduction over sublanes, W on lanes)
+  loopW       python loop over W columns: [c, P_b] compare, sum lanes
+  i16         base with int16 table + draws (halves vector width)
+  f32         base with f32 table + draws (VPU-native dtype)
+  matmul      indicator-via-MXU: (rows <= r) as dot of step functions is
+              not linear — instead bf16 compare then [c,W,P]x[P,1] matmul
+              reduction (MXU does the sum)
+
+Run: python benchmarks/exp_count_variants.py
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+C_TOTAL = 3_792_896          # headline biggest bucket: slots
+P = 128                      # padded row width
+M = 60_000                   # distinct user rows in the bucket (approx)
+W = 12                       # K=10 + 2 dedup spares
+CHUNK = 8192
+ITERS = C_TOTAL // CHUNK     # sequential chunks, matching the real pass
+
+
+def main():
+    try:
+        from benchmarks._watchdog import device_watchdog
+    except ImportError:
+        from _watchdog import device_watchdog
+    device_watchdog(label='exp_count_variants')
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    table_np = np.sort(rng.integers(0, 10_000, (M, P)).astype(np.int32), 1)
+    rows_np = rng.integers(0, M, (ITERS, CHUNK)).astype(np.int32)
+    r_np = rng.integers(0, 10_000, (ITERS, CHUNK, W)).astype(np.int32)
+
+    def bench(name, make):
+        fn, args = make()
+        float(jax.jit(lambda o: o.sum())(fn(*args)))
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jax.jit(lambda o: o.sum())(fn(*args)))
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({name: round(best * 1e3, 1)}), flush=True)
+        return best * 1e3
+
+    table = jnp.asarray(table_np)
+    rows = jnp.asarray(rows_np)
+    r = jnp.asarray(r_np)
+
+    def scan_over(body):
+        @jax.jit
+        def run(table, rows, r):
+            def step(_, xs):
+                row_c, r_c = xs
+                return None, body(table, row_c, r_c)
+            _, out = jax.lax.scan(step, None, (rows, r))
+            return out
+        return run
+
+    out = {}
+
+    out['base'] = bench('base', lambda: (scan_over(
+        lambda t, rc, rr: jnp.sum(t[rc][:, None, :] <= rr[:, :, None],
+                                  axis=-1, dtype=jnp.int32)),
+        (table, rows, r)))
+
+    out['lastW'] = bench('lastW', lambda: (scan_over(
+        lambda t, rc, rr: jnp.sum(t[rc][:, :, None] <= rr[:, None, :],
+                                  axis=1, dtype=jnp.int32)),
+        (table, rows, r)))
+
+    def loopW(t, rc, rr):
+        g = t[rc]
+        return jnp.stack([jnp.sum(g <= rr[:, w:w + 1], axis=-1,
+                                  dtype=jnp.int32) for w in range(W)], 1)
+    out['loopW'] = bench('loopW', lambda: (scan_over(loopW),
+                                           (table, rows, r)))
+
+    t16 = jnp.asarray(table_np.astype(np.int16))
+    r16 = jnp.asarray(r_np.astype(np.int16))
+    out['i16'] = bench('i16', lambda: (scan_over(
+        lambda t, rc, rr: jnp.sum(t[rc][:, None, :] <= rr[:, :, None],
+                                  axis=-1, dtype=jnp.int32)),
+        (t16, rows, r16)))
+
+    tf = jnp.asarray(table_np.astype(np.float32))
+    rf = jnp.asarray(r_np.astype(np.float32))
+    out['f32'] = bench('f32', lambda: (scan_over(
+        lambda t, rc, rr: jnp.sum(t[rc][:, None, :] <= rr[:, :, None],
+                                  axis=-1, dtype=jnp.int32)),
+        (tf, rows, rf)))
+
+    def mxu(t, rc, rr):
+        ind = (t[rc][:, None, :] <= rr[:, :, None]).astype(jnp.bfloat16)
+        ones = jnp.ones((P,), jnp.bfloat16)
+        return jnp.einsum('cwp,p->cw', ind, ones,
+                          preferred_element_type=jnp.float32)
+    out['matmul'] = bench('matmul', lambda: (scan_over(mxu),
+                                             (tf.astype(jnp.bfloat16), rows,
+                                              rf.astype(jnp.bfloat16))))
+
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()
