@@ -14,6 +14,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 """
 import json
+import os
 import sys
 import time
 
@@ -62,13 +63,18 @@ def bench_collie_tpu(train, test, epochs=10, batch_size=1024):
     examples = len(train) * epochs
     examples_per_sec = examples / steady_secs
 
-    # warm once (compiles the fused whole-eval program), then time steady state
+    # warm once (compiles the fused whole-eval program), then time best-of-3
+    # steady-state runs: a single gate-scale eval is ~43 ms against the ~24 ms
+    # dispatch floor (CLAUDE.md), so one sample is noise-bound — rounds 1-4
+    # swung 31-45M items/s on near-identical code with a single sample
     mapk_score, mrr_score, auc_score = evaluate_in_batches(
         [mapk, mrr, auc], test, model, k=10, batch_size=256, verbose=False)
-    t0 = time.perf_counter()
-    evaluate_in_batches([mapk, mrr, auc], test, model, k=10, batch_size=256,
-                        verbose=False)
-    eval_secs = time.perf_counter() - t0
+    eval_secs = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        evaluate_in_batches([mapk, mrr, auc], test, model, k=10,
+                            batch_size=256, verbose=False)
+        eval_secs = min(eval_secs, time.perf_counter() - t0)
     eval_items_per_sec = (len(np.unique(test.mat.row)) * test.num_items) / eval_secs
 
     return {
@@ -228,15 +234,40 @@ def _device_watchdog(timeout_s: float = 600.0):
         os._exit(3)
 
 
+# The torch-CPU baseline is load-volatile: observed 13k-218k ex/s for the SAME
+# code across rounds depending on host CPU weather (docs/BENCHMARKS.md), which
+# made the driver-recorded `vs_baseline` swing 2x for a monotone ours-side
+# number.  Protocol since round 5: the live baseline is best-of-N with the
+# 1-minute host load average recorded alongside, AND the headline ratio is
+# additionally reported against a PINNED baseline — the median of the four
+# round-driver observations of the approximate-path baseline (184.2k, 200.6k,
+# 165.1k, 178.0k ex/s -> 181.1k) — so cross-round comparisons have a fixed
+# denominator.
+PINNED_BASELINE_APPROX_EPS = 181_109.4
+
+
 def main():
     _device_watchdog()
     train, test = build_data()
     ours = bench_collie_tpu(train, test)
+    def _loadavg():
+        try:
+            return os.getloadavg()[0]
+        except OSError:  # pragma: no cover - getloadavg unsupported
+            return -1.0
+
+    # the load sentinel brackets the BASELINE runs (they are the
+    # load-sensitive part); report the max of before/after
+    loadavg = _loadavg()
     # matching-semantics baseline: the reference's default exact-sampling path
-    baseline_exact_eps = bench_torch_reference_exact(train)
+    baseline_exact_eps = max(bench_torch_reference_exact(train)
+                             for _ in range(2))
     # the reference's opt-in approximate fast path (stronger baseline than our
-    # own exact-mode run deserves, reported for transparency)
-    baseline_approx_eps = bench_torch_reference_equivalent(train)
+    # own exact-mode run deserves, reported for transparency); best-of-3 so a
+    # transient host-load spike cannot halve the denominator
+    baseline_approx_eps = max(bench_torch_reference_equivalent(train)
+                              for _ in range(3))
+    loadavg = max(loadavg, _loadavg())
 
     result = {
         'metric': 'mf_train_examples_per_sec',
@@ -252,6 +283,12 @@ def main():
         'baseline_torch_cpu_exact_examples_per_sec': round(baseline_exact_eps, 1),
         'vs_exact_sampling_baseline': round(
             ours['examples_per_sec'] / baseline_exact_eps, 3),
+        # fixed-denominator ratio for cross-round comparability (see the
+        # PINNED_BASELINE_APPROX_EPS protocol note above)
+        'vs_pinned_baseline': round(
+            ours['examples_per_sec'] / PINNED_BASELINE_APPROX_EPS, 3),
+        'pinned_baseline_examples_per_sec': PINNED_BASELINE_APPROX_EPS,
+        'host_loadavg_1m': round(loadavg, 2),
         'map10': round(ours['map10'], 5),
         'mrr': round(ours['mrr'], 5),
         'auc': round(ours['auc'], 5),

@@ -52,12 +52,14 @@ def main():
     r_f = r_s.reshape(-1, W)
 
     def bench(name, fn, *args):
-        g = jax.jit(fn)
-        float(jax.jit(lambda *a: g(*a).sum())(*args))
+        # build the jitted sum-wrapper ONCE: constructing it inside the timed
+        # loop retraces/re-lowers per iteration (advisor round-4 finding)
+        g = jax.jit(lambda *a: fn(*a).sum())
+        float(g(*args))
         best = float('inf')
         for _ in range(3):
             t0 = time.perf_counter()
-            float(jax.jit(lambda *a: g(*a).sum())(*args))
+            float(g(*args))
             best = min(best, time.perf_counter() - t0)
         print(json.dumps({name: round(best * 1e3, 1)}), flush=True)
 

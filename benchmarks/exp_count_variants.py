@@ -50,13 +50,17 @@ def main():
     rows_np = rng.integers(0, M, (ITERS, CHUNK)).astype(np.int32)
     r_np = rng.integers(0, 10_000, (ITERS, CHUNK, W)).astype(np.int32)
 
+    # hoisted: a fresh jax.jit per timed call traces a new sum program inside
+    # the timed region (advisor round-4 finding)
+    sum_fn = jax.jit(lambda o: o.sum())
+
     def bench(name, make):
         fn, args = make()
-        float(jax.jit(lambda o: o.sum())(fn(*args)))
+        float(sum_fn(fn(*args)))
         best = float('inf')
         for _ in range(3):
             t0 = time.perf_counter()
-            float(jax.jit(lambda o: o.sum())(fn(*args)))
+            float(sum_fn(fn(*args)))
             best = min(best, time.perf_counter() - t0)
         print(json.dumps({name: round(best * 1e3, 1)}), flush=True)
         return best * 1e3

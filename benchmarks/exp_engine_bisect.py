@@ -44,6 +44,10 @@ VARIANTS = {
 
 
 def run_variant(name):
+    # bind the variant's env knobs even when run in-proc via --variant (the
+    # orchestrator injects them into the subprocess env; a direct run must
+    # not silently execute the base config under the variant's label)
+    os.environ.update(VARIANTS[name])
     import numpy as np
     from collie_tpu.data import (InteractionsDataLoader,
                                  ApproximateNegativeSamplingInteractionsDataLoader,
@@ -93,8 +97,13 @@ def main():
     for name, env in VARIANTS.items():
         e = dict(os.environ)
         e.update(env)
-        r = subprocess.run([sys.executable, __file__, '--variant', name],
-                           env=e, capture_output=True, text=True, timeout=1800)
+        try:
+            r = subprocess.run([sys.executable, __file__, '--variant', name],
+                               env=e, capture_output=True, text=True,
+                               timeout=1800)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({'variant': name, 'error': 'timeout'}), flush=True)
+            continue
         for line in r.stdout.splitlines():
             if line.startswith('{'):
                 print(line, flush=True)

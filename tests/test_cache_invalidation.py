@@ -183,5 +183,5 @@ def test_match_lr_aval_roundtrip():
     fixed = match_lr_aval(restored, fresh)
     assert get_lr(fixed) == pytest.approx(0.025)
     # aval (dtype AND weak_type) matches the freshly-initialized state
-    assert jax.core.get_aval(fixed.hyperparams['learning_rate']) == \
-        jax.core.get_aval(fresh.hyperparams['learning_rate'])
+    assert jax.typeof(fixed.hyperparams['learning_rate']) == \
+        jax.typeof(fresh.hyperparams['learning_rate'])
