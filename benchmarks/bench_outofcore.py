@@ -1,19 +1,22 @@
 """Out-of-core (HDF5) training throughput vs the in-memory scan tier.
 
-VERDICT r2 weak-item 7: the HDF5 + PrefetchLoader tier had no measured
-number, so whether the producer thread actually overlaps host reads with
-device steps was unproven.  This benchmark trains the same
-MatrixFactorizationModel on the same 2M synthetic interactions through
-three paths and reports steady-state epoch throughput for each:
+Round-4 finding: the per-step HDF5 path ran at 44% of in-memory throughput
+and its PrefetchLoader producer thread measured NO benefit (0.973x) — on the
+async-dispatch axon backend the per-step host work was never the bottleneck;
+the ~2 ms tunnel dispatch per batch was.  Round 5 adds the chunked scan tier
+(``scan_engine.build_hdf5_chunk_make``): one dispatched program per
+``COLLIE_TPU_HDF5_CHUNK_STEPS`` batches, with the host's h5py read of chunk
+``c+1`` overlapping the device compute of chunk ``c``.  Paths measured:
 
-  hdf5          HDF5InteractionsDataLoader (chunk reads, per-step engine)
-  hdf5_prefetch PrefetchLoader(HDF5InteractionsDataLoader) (producer thread)
+  hdf5_chunk    HDF5InteractionsDataLoader, chunked scan tier (the default)
+  hdf5_step     same loader, forced per-step engine (epoch_mode='step')
+  hdf5_prefetch PrefetchLoader(loader), per-step engine (producer thread)
   in_memory     Interactions (whole-epoch scan engine, the fast tier)
 
 Timing: first epoch is compile + cache warmup and is discarded; each
-remaining epoch is wall-clocked host-side (the per-step engine's epoch loop
-ends in a host readback of the epoch loss, which is a true sync point on
-the axon backend — block_until_ready is not).
+remaining epoch is wall-clocked host-side (the epoch loop ends in a host
+readback of the epoch loss, which is a true sync point on the axon
+backend — block_until_ready is not).
 
 Run on the real TPU: `python benchmarks/bench_outofcore.py` (~5-10 min).
 Writes benchmarks/outofcore_results.json.
@@ -24,11 +27,14 @@ throughput number of its own.
 """
 import json
 import os
+import sys
 import tempfile
 import time
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
 N_INTERACTIONS = 2_000_000
 NUM_USERS = 40_000
@@ -51,10 +57,11 @@ def make_data(rng):
     return users[first].astype(np.int32), items[first].astype(np.int32)
 
 
-def timed_fit(model_builder, label):
+def timed_fit(model_builder, label, epoch_mode='auto'):
     from collie_tpu.model import CollieTrainer
     model = model_builder()
-    trainer = CollieTrainer(model=model, max_epochs=1, verbosity=0)
+    trainer = CollieTrainer(model=model, max_epochs=1, verbosity=0,
+                            epoch_mode=epoch_mode)
     t0 = time.perf_counter()
     trainer.fit(model)                      # compile + warmup epoch
     warmup = time.perf_counter() - t0
@@ -119,25 +126,38 @@ def main():
             loss='adaptive_hinge')
 
     results = [
-        timed_fit(lambda: build_hdf5(prefetch=False), 'hdf5'),
-        timed_fit(lambda: build_hdf5(prefetch=True), 'hdf5_prefetch'),
+        timed_fit(lambda: build_hdf5(prefetch=False), 'hdf5_chunk'),
+        timed_fit(lambda: build_hdf5(prefetch=False), 'hdf5_step',
+                  epoch_mode='step'),
+        timed_fit(lambda: build_hdf5(prefetch=True), 'hdf5_prefetch',
+                  epoch_mode='step'),
         timed_fit(build_memory, 'in_memory'),
     ]
     by = {r['label']: r for r in results}
-    overlap = (by['hdf5']['median_epoch_s']
+    overlap = (by['hdf5_step']['median_epoch_s']
                / by['hdf5_prefetch']['median_epoch_s'])
+    chunk_vs_memory = (by['hdf5_chunk']['examples_per_sec']
+                       / by['in_memory']['examples_per_sec'])
+    chunk_vs_step = (by['hdf5_chunk']['examples_per_sec']
+                     / by['hdf5_step']['examples_per_sec'])
     out = {
         'config': {'n_interactions': int(len(users)), 'num_users': NUM_USERS,
                    'num_items': NUM_ITEMS, 'batch_size': BATCH_SIZE,
-                   'embedding_dim': EMBEDDING_DIM, 'k_neg': K_NEG},
+                   'embedding_dim': EMBEDDING_DIM, 'k_neg': K_NEG,
+                   'chunk_steps': int(os.environ.get(
+                       'COLLIE_TPU_HDF5_CHUNK_STEPS', '64'))},
         'results': results,
         'prefetch_speedup': round(overlap, 3),
+        'chunk_vs_in_memory': round(chunk_vs_memory, 3),
+        'chunk_vs_per_step': round(chunk_vs_step, 3),
     }
     if not os.environ.get('COLLIE_TPU_SMOKE'):
         dest = Path(__file__).parent / 'outofcore_results.json'
         dest.write_text(json.dumps(out, indent=2) + '\n')
     print(json.dumps(out['results'], indent=2))
-    print(f'prefetch speedup: {overlap:.3f}x', flush=True)
+    print(f'prefetch speedup (per-step): {overlap:.3f}x', flush=True)
+    print(f'chunk tier vs in-memory: {chunk_vs_memory:.3f}x, '
+          f'vs per-step: {chunk_vs_step:.3f}x', flush=True)
 
 
 if __name__ == '__main__':

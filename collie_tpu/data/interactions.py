@@ -425,6 +425,19 @@ class HDF5Interactions:
                 {col: np.asarray(grp[col][start:start + n]) for col in cols},
                 columns=cols, index=range(start, start + n))
 
+    def read_chunk(self, start: int, stop: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw contiguous ``[start, stop)`` user/item columns as int32 —
+        the chunked out-of-core scan tier's read primitive (shuffle and
+        negative sampling happen on device there; see
+        ``training/scan_engine.py::build_hdf5_chunk_make``)."""
+        import h5py
+
+        with h5py.File(self.hdf5_path, 'r') as f:
+            grp = f[self.key]
+            return (np.asarray(grp[self.user_col][start:stop], dtype=np.int32),
+                    np.asarray(grp[self.item_col][start:stop], dtype=np.int32))
+
     def __getitem__(self, index: Tuple[int, int]
                     ) -> Tuple[Tuple[np.ndarray, np.ndarray], np.ndarray]:
         """Read a contiguous ``(start_idx, batch_size)`` chunk with optional

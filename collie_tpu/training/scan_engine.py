@@ -553,6 +553,131 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
     return jitted, data, S, n_used
 
 
+def hdf5_chunk_plan(total_steps: int, max_chunk_steps: int
+                    ) -> List[Tuple[int, int]]:
+    """Decompose an out-of-core epoch into ``(start_step, num_steps)`` chunks.
+
+    Full chunks of ``max_chunk_steps`` first, then the tail breaks into
+    power-of-two sub-chunks (the engine's program-ladder idiom): distinct
+    chunk-program compilations stay bounded at ``log2(max) + 1``, and — the
+    correctness property — only the FINAL batch of the final sub-chunk can be
+    partially padded, so no scanned step is ever fully padding (a fully-padded
+    step would still decay Adam moments / apply weight decay, diverging from
+    the per-step engine which never runs such a step)."""
+    plan = []
+    done = 0
+    while done < total_steps:
+        b = max_chunk_steps
+        while b > total_steps - done:
+            b //= 2
+        plan.append((done, b))
+        done += b
+    return plan
+
+
+def build_hdf5_chunk_make(model, specs, active: List[bool], loader,
+                          shuffle: bool) -> Callable[[int], Callable]:
+    """Chunked out-of-core scan tier: factory of per-chunk epoch-segment
+    programs for HDF5-backed loaders.
+
+    The per-step path costs ~2 ms of tunnel dispatch per batch, which priced
+    the round-4 out-of-core tier at 44% of in-memory throughput
+    (``benchmarks/outofcore_results.json``).  TPU-native fix: materialize each
+    HDF5 chunk (``COLLIE_TPU_HDF5_CHUNK_STEPS`` batches, default 64) as device
+    arrays and dispatch ONE program per chunk — in-chunk device shuffle,
+    on-device approximate negatives, ``lax.scan`` over the chunk's steps —
+    while the host reads the NEXT chunk from disk.  Dispatch is asynchronous
+    (the axon queue returns immediately), so the h5py read of chunk ``c+1``
+    overlaps the device compute of chunk ``c`` with no threads; the only
+    sync point is the single epoch-loss readback at epoch end.
+
+    Sampling is always approximate for HDF5 data, as in the reference
+    (``/root/reference/collie/interactions/datasets.py:664-694``); shuffle is
+    chunk-order (host) + in-chunk (device Feistel/permutation), the chunked
+    analog of the reference's ``HDF5Interactions`` in-chunk shuffle.
+
+    Returns ``make(num_steps) -> chunk_fn`` where
+    ``chunk_fn(params, opt_states, users, items, mask, base_rng, epoch_idx,
+    chunk_idx) -> (params, opt_states, loss_sum)`` over flat
+    ``[num_steps * B]`` host arrays; ``loss_sum`` is the sum of the chunk's
+    per-step losses (the trainer divides the epoch total by the real step
+    count — identical mean semantics to the in-memory path)."""
+    import os as _os
+    inter = loader.interactions
+    B = loader.batch_size
+    K = inter.num_negative_samples
+    num_items = inter.num_items
+    shuffle_kind = _os.environ.get('COLLIE_TPU_SHUFFLE', 'feistel')
+    _fuse_env = _os.environ.get('COLLIE_TPU_FUSED_TABLES', 'auto')
+    fuse_tables = (_fuse_env != '0'
+                   and getattr(model, 'supports_fused_tables',
+                               lambda: False)()
+                   and all(active))
+
+    def make(num_steps: int) -> Callable:
+        C = num_steps * B
+
+        def chunk_fn(params, opt_states, users, items, mask, base_rng,
+                     epoch_idx, chunk_idx):
+            rng = jax.random.fold_in(
+                jax.random.fold_in(base_rng, epoch_idx), chunk_idx)
+            perm_rng, sample_rng, dropout_rng = jax.random.split(rng, 3)
+            if shuffle and C >= 2:
+                if shuffle_kind == 'feistel':
+                    from collie_tpu.ops.shuffle import feistel_permutation
+                    perm = feistel_permutation(perm_rng, C)
+                else:
+                    perm = jax.random.permutation(perm_rng, C)
+                users_, items_, mask_ = users[perm], items[perm], mask[perm]
+            else:
+                users_, items_, mask_ = users, items, mask
+            negs = jax.random.randint(sample_rng, (C, K), 0, num_items,
+                                      dtype=jnp.int32)
+            batches = {
+                'users': users_.reshape(num_steps, B),
+                'pos_items': items_.reshape(num_steps, B),
+                'neg_items': negs.reshape(num_steps, B, K),
+                'mask': mask_.reshape(num_steps, B),
+            }
+
+            def step(carry, batch):
+                params, opt_states, step_i = carry
+                loss, grads = jax.value_and_grad(
+                    lambda p: model.calculate_loss(
+                        p, batch, rng=jax.random.fold_in(dropout_rng, step_i),
+                        training=True)
+                )(params)
+                if fuse_tables:
+                    params = model.unfuse_params(params)
+                    grads = model.unfuse_params(grads)
+                new_states = list(opt_states)
+                for i, spec in enumerate(specs):
+                    if not active[i]:
+                        continue
+                    sub_params = {k: params[k] for k in spec.keys}
+                    sub_grads = {k: grads[k] for k in spec.keys}
+                    updates, new_states[i] = spec.transform.update(
+                        sub_grads, opt_states[i], sub_params)
+                    params = {**params,
+                              **{k: sub_params[k] + updates[k]
+                                 for k in spec.keys}}
+                if fuse_tables:
+                    params = model.fuse_params(params)
+                return (params, tuple(new_states), step_i + 1), loss
+
+            if fuse_tables:
+                params = model.fuse_params(params)
+            (params, opt_states, _), losses = jax.lax.scan(
+                step, (params, opt_states, jnp.int32(0)), batches)
+            if fuse_tables:
+                params = model.unfuse_params(params)
+            return params, opt_states, losses.sum()
+
+        return jax.jit(chunk_fn, donate_argnums=(0, 1))
+
+    return make
+
+
 def build_scan_fit_fn(train_epoch_fn, val_epoch_fn, *, monitor_val: bool,
                       sched_kinds: tuple, sched_statics: tuple,
                       es_patience, terminate_on_nan: bool):

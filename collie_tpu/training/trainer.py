@@ -188,11 +188,25 @@ class CollieTrainer:
         params = dict(model.params)
         self._pre_fit_report(model, params, specs, active)
 
-        from collie_tpu.training.scan_engine import build_scan_epoch_fns, loader_is_scannable
+        import os
+        from collie_tpu.data import HDF5InteractionsDataLoader
+        from collie_tpu.training.scan_engine import (build_hdf5_chunk_make,
+                                                     build_scan_epoch_fns,
+                                                     loader_is_scannable)
         use_scan_train = (self.epoch_mode != 'step'
                           and loader_is_scannable(model.train_loader))
         use_scan_val = (model.val_loader is not None and self.epoch_mode != 'step'
                         and loader_is_scannable(model.val_loader))
+        # out-of-core chunked scan tier: HDF5-backed training dispatches one
+        # program per COLLIE_TPU_HDF5_CHUNK_STEPS batches while the host
+        # reads the next chunk from disk (0 disables -> per-step path)
+        hdf5_chunk_steps = int(os.environ.get('COLLIE_TPU_HDF5_CHUNK_STEPS',
+                                              '64'))
+        use_hdf5_train = (not use_scan_train and self.epoch_mode != 'step'
+                          and self.mesh is None and jax.process_count() == 1
+                          and hdf5_chunk_steps > 0
+                          and isinstance(model.train_loader,
+                                         HDF5InteractionsDataLoader))
         if self.epoch_mode == 'scan' and not use_scan_train:
             raise ValueError(
                 'epoch_mode="scan" requires an in-memory InteractionsDataLoader '
@@ -223,7 +237,6 @@ class CollieTrainer:
         # must be part of the cache key — otherwise flipping the gate between
         # fits silently reuses the previous path (the round-1 stage-staleness
         # bug class, see ADVICE.md)
-        import os
         sampler_flags = (
             os.environ.get('COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB'),
             os.environ.get('COLLIE_TPU_SAMPLER', 'auto'),
@@ -280,7 +293,18 @@ class CollieTrainer:
                 key, model.val_loader, lambda: build_scan_epoch_fns(
                     model, specs, active, model.val_loader, shuffle=False,
                     mesh=self.mesh, training=False))
-        if not use_scan_train or (model.val_loader is not None and not use_scan_val):
+        train_hdf5 = None
+        if use_hdf5_train:
+            key = ('hdf5_train', stage, self.exact_sampling_dedup_rounds,
+                   path_flags, loss_fp, hdf5_chunk_steps)
+            train_hdf5 = _loader_slot(
+                key, model.train_loader,
+                lambda: {'make': build_hdf5_chunk_make(
+                    model, specs, active, model.train_loader,
+                    shuffle=getattr(model.train_loader, 'shuffle', False)),
+                    'fns': {}, 'chunk_steps': hdf5_chunk_steps})
+        if (not use_scan_train and not use_hdf5_train) \
+                or (model.val_loader is not None and not use_scan_val):
             key = ('steps', stage, mesh_key, path_flags, loss_fp)
             if key not in cache:
                 cache[key] = self._build_steps(model, specs, active)
@@ -382,7 +406,7 @@ class CollieTrainer:
                 train_epoch_data=train_epoch_data if use_scan_train else None,
                 val_epoch_data=val_epoch_data if use_scan_val else None,
                 train_step=train_step, val_step=val_step,
-                train_chunk=train_chunk,
+                train_chunk=train_chunk, train_hdf5=train_hdf5,
                 shard_batch=shard_batch, base_rng=base_rng,
                 state_box=(state_box := {'params': params,
                                          'opt_states': opt_states,
@@ -634,8 +658,8 @@ class CollieTrainer:
     def _run_epochs(self, *, model, specs, schedulers, monitor_val, start_epoch,
                     use_scan_train, use_scan_val, train_epoch_fn, val_epoch_fn,
                     train_epoch_data, val_epoch_data,
-                    train_step, val_step, train_chunk=None, shard_batch,
-                    base_rng, state_box, scan_examples):
+                    train_step, val_step, train_chunk=None, train_hdf5=None,
+                    shard_batch, base_rng, state_box, scan_examples):
         if self._whole_fit_eligible(use_scan_train, use_scan_val, monitor_val,
                                     schedulers, state_box['opt_states']):
             self._run_fit_scan(
@@ -660,6 +684,12 @@ class CollieTrainer:
                     params, opt_states, train_epoch_data, base_rng, np.int32(epoch))
                 train_loss = float(epoch_loss)
                 total_examples += scan_examples
+            elif train_hdf5 is not None:
+                params, opt_states, train_loss, total_examples = \
+                    self._hdf5_chunk_epoch(
+                        model=model, train_hdf5=train_hdf5, params=params,
+                        opt_states=opt_states, base_rng=base_rng, epoch=epoch,
+                        total_examples=total_examples)
             else:
                 params, opt_states, train_loss, total_examples = \
                     self._per_step_epoch(
@@ -737,6 +767,68 @@ class CollieTrainer:
                     break
 
 
+
+    def _hdf5_chunk_epoch(self, *, model, train_hdf5, params, opt_states,
+                          base_rng, epoch, total_examples):
+        """One epoch through the out-of-core chunked scan tier.
+
+        Per chunk: dispatch its compiled epoch-segment program (async — the
+        call returns once enqueued on the tunnel), then read the NEXT chunk
+        from HDF5 while the device computes; the only sync point is the
+        single epoch-loss readback at the end.  Chunk order shuffles per
+        epoch (reads stay contiguous), matching
+        ``HDF5InteractionsDataLoader``'s chunk-order-shuffle semantics."""
+        from collie_tpu.training.scan_engine import hdf5_chunk_plan
+
+        loader = model.train_loader
+        inter = loader.interactions
+        n = loader.num_interactions
+        B = loader.batch_size
+        if getattr(loader, 'drop_last', False):
+            S_real = n // B
+            n_used = S_real * B
+        else:
+            S_real = -(-n // B)
+            n_used = n
+        plan = hdf5_chunk_plan(S_real, train_hdf5['chunk_steps'])
+        if getattr(loader, 'shuffle', False):
+            order_rng = np.random.default_rng((loader.seed, epoch))
+            plan = [plan[i] for i in order_rng.permutation(len(plan))]
+        make, fns = train_hdf5['make'], train_hdf5['fns']
+
+        def read(start_step, steps):
+            start = start_step * B
+            stop = min(start + steps * B, n_used)
+            users, items = inter.read_chunk(start, stop)
+            C = steps * B
+            real = stop - start
+            mask = np.zeros(C, dtype=np.float32)
+            mask[:real] = 1.0
+            if real < C:
+                users = np.concatenate(
+                    [users, np.zeros(C - real, users.dtype)])
+                items = np.concatenate(
+                    [items, np.zeros(C - real, items.dtype)])
+            return users, items, mask
+
+        loss_sums = []
+        pending = read(*plan[0])
+        for ci, (start_step, steps) in enumerate(plan):
+            users, items, mask = pending
+            fn = fns.get(steps)
+            if fn is None:
+                fn = fns[steps] = make(steps)
+            params, opt_states, loss_sum = fn(
+                params, opt_states, users, items, mask, base_rng,
+                np.int32(epoch), np.int32(ci))
+            loss_sums.append(loss_sum)
+            if ci + 1 < len(plan):
+                # overlaps the chunk just dispatched
+                pending = read(*plan[ci + 1])
+        train_loss = float(jnp.sum(jnp.stack(loss_sums)) / S_real)
+        total_examples += n_used
+        self.global_step += S_real
+        return params, opt_states, train_loss, total_examples
 
     def _per_step_epoch(self, *, model, params, opt_states, train_step,
                         train_chunk, shard_batch, base_rng, total_examples):
