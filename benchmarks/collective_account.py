@@ -101,6 +101,130 @@ def collective_bytes(hlo_text: str):
     return out
 
 
+def _account(txt, steps, measured_ms, ring_n):
+    """Collective-byte account of one compiled program."""
+    found = collective_bytes(txt)
+    per_kind = {op: sum(b for b, _ in entries)
+                for op, entries in found.items()}
+    total = sum(per_kind.values())
+    per_step = total / steps
+    ring = 2 * (ring_n - 1) / ring_n
+    wire_per_step = per_step * ring
+    overhead_budget_s = 0.10 * measured_ms / 1e3
+    needed_gbps = (wire_per_step / overhead_budget_s / 1e9
+                   if overhead_budget_s > 0 else float('inf'))
+    return {
+        'collective_bytes_per_program_by_kind': per_kind,
+        'collective_bytes_per_step': round(per_step),
+        'largest_single_collective': max(
+            ((b, head) for entries in found.values() for b, head in entries),
+            default=(0, ''), key=lambda x: x[0]),
+        'ring_wire_bytes_per_step': round(wire_per_step),
+        'measured_single_chip_ms_per_step': measured_ms,
+        'ici_gbps_needed_for_90pct_scaling': round(needed_gbps, 2),
+    }
+
+
+def eval_account(mesh):
+    """Lower the sharded fused-eval program at the ML-10M eval shapes.
+
+    Claim under test (evaluate.py::_build_sharded_eval_fn): per-user
+    communication is O(max_test_degree) psum'd counts — independent of
+    catalog size — plus the user-row all-to-all.  Abstract-arg lowering:
+    nothing executes.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from collie_tpu.data import Interactions, InteractionsDataLoader
+    from collie_tpu.evaluate import _build_sharded_eval_fn
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+    from collie_tpu.parallel import shard_params
+    from collie_tpu.parallel.mesh import DATA_AXIS
+
+    rng = np.random.default_rng(1)
+    users = rng.integers(0, NUM_USERS, 300_000)
+    items = rng.integers(0, NUM_ITEMS, 300_000)
+    keys = users.astype(np.int64) * NUM_ITEMS + items
+    _, keep = np.unique(keys, return_index=True)
+    inter = Interactions(users=users[keep], items=items[keep],
+                         allow_missing_ids=True, num_users=NUM_USERS,
+                         num_items=NUM_ITEMS, num_negative_samples=10,
+                         seed=0, check_num_negative_samples_is_valid=False)
+    loader = InteractionsDataLoader(interactions=inter, batch_size=8192)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=DIM,
+                                     lr=1e-1, loss='adaptive', seed=0)
+    params = shard_params(dict(model.params), mesh)
+
+    B_eval, Dpos = 512, 16
+    S = -(-NUM_USERS // B_eval)
+    fn = jax.jit(_build_sharded_eval_fn(model, 10, NUM_ITEMS, mesh))
+
+    def _abs(shape, dtype, spec):
+        return jax.ShapeDtypeStruct(shape, dtype,
+                                    sharding=NamedSharding(mesh, spec))
+
+    txt = fn.lower(
+        params,
+        _abs((S, B_eval), np.int32, P(None, DATA_AXIS)),
+        _abs((S, B_eval, Dpos), np.int32, P(None, DATA_AXIS, None)),
+        _abs((S, B_eval, Dpos), np.float32, P(None, DATA_AXIS, None)),
+        _abs((S, B_eval), np.float32, P(None, DATA_AXIS)),
+    ).compile().as_text()
+    # measured single-chip whole-eval: ml10m_scale_results.json
+    # eval_items_per_sec 628.8M over 72k x 10k items -> 1.145 s / S blocks
+    measured_block_ms = 1145.0 / S
+    row = _account(txt, S, round(measured_block_ms, 3), ring_n=2)
+    row['config'] = {'users': NUM_USERS, 'num_items': NUM_ITEMS, 'dim': DIM,
+                     'eval_block': B_eval, 'padded_positives': Dpos,
+                     'blocks': S,
+                     'claim': 'per-user comm O(max_test_degree), '
+                              'catalog-size independent'}
+    return row
+
+
+def retrieval_account(mesh):
+    """Lower the shard_map retrieval merge at the 500k-catalog bench shapes.
+
+    Claim under test (retrieval.py::_build_sharded_retrieval): each device
+    holds num_items/n_shards table rows, computes a local top-k, and only
+    O(devices * k) candidates cross ICI.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from collie_tpu.data import Interactions, InteractionsDataLoader
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+    from collie_tpu.parallel import shard_params
+    from collie_tpu.retrieval import build_retrieval_fn
+
+    R_ITEMS, R_DIM, R_B, R_K = 500_000, 64, 64, 10
+    rng = np.random.default_rng(2)
+    users = rng.integers(0, 4096, 20_000)
+    items = rng.integers(0, R_ITEMS, 20_000)
+    keys = users.astype(np.int64) * R_ITEMS + items
+    _, keep = np.unique(keys, return_index=True)
+    inter = Interactions(users=users[keep], items=items[keep],
+                         allow_missing_ids=True, num_users=4096,
+                         num_items=R_ITEMS, num_negative_samples=10,
+                         seed=0, check_num_negative_samples_is_valid=False)
+    loader = InteractionsDataLoader(interactions=inter, batch_size=8192)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=R_DIM,
+                                     lr=1e-1, loss='adaptive', seed=0)
+    params = shard_params(dict(model.params), mesh)
+    fn = build_retrieval_fn(model, k=R_K, item_tile=4096, filter_seen=False,
+                            mesh=mesh)
+    txt = fn.lower(
+        params,
+        jax.ShapeDtypeStruct((R_B,), np.int32,
+                             sharding=NamedSharding(mesh, P())),
+    ).compile().as_text()
+    # measured single-chip per-call: retrieval_results.json catalog_500000
+    # xla_topk_ms_per_call (the auto-selected dense path)
+    row = _account(txt, 1, 1.583, ring_n=2)
+    row['config'] = {'num_items': R_ITEMS, 'dim': R_DIM, 'batch': R_B,
+                     'k': R_K,
+                     'claim': 'O(devices * k) candidate all-gather; '
+                              'per-device table memory num_items/n_shards'}
+    return row
+
+
 def main():
     from collie_tpu.data import Interactions, InteractionsDataLoader
     from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
@@ -139,36 +263,25 @@ def main():
     txt = fn.lower(params, opt_states, data, jax.random.PRNGKey(0),
                    np.int32(1)).compile().as_text()
 
-    found = collective_bytes(txt)
-    per_kind = {op: sum(b for b, _ in entries)
-                for op, entries in found.items()}
-    total_epoch = sum(per_kind.values())
-    per_step = total_epoch / S
-    # ring all-reduce wire factor over the 4-way data axis
-    n_data = 4
-    ring = 2 * (n_data - 1) / n_data
-    wire_per_step = per_step * ring
-    # bandwidth needed so collectives cost <=10% of the measured step
-    overhead_budget_s = 0.10 * MEASURED_STEP_MS / 1e3
-    needed_gbps = wire_per_step / overhead_budget_s / 1e9
+    train_row = _account(txt, S, MEASURED_STEP_MS, ring_n=4)
+    train_row['config'] = {
+        'num_users': NUM_USERS, 'num_items': NUM_ITEMS, 'dim': DIM,
+        'global_batch': GLOBAL_BATCH, 'steps_per_epoch': S}
+
+    print('lowering sharded eval program...', flush=True)
+    eval_row = eval_account(mesh)
+    print('lowering sharded retrieval program...', flush=True)
+    retr_row = retrieval_account(mesh)
 
     result = {
-        'config': {'num_users': NUM_USERS, 'num_items': NUM_ITEMS,
-                   'dim': DIM, 'global_batch': GLOBAL_BATCH,
-                   'mesh': 'data=4 x model=2 (8 virtual CPU devices)',
-                   'steps_per_epoch': S,
-                   'measured_single_chip_step_ms': MEASURED_STEP_MS},
-        'collective_bytes_per_epoch_by_kind': per_kind,
-        'collective_bytes_per_step': round(per_step),
-        'largest_single_collective': max(
-            ((b, head) for entries in found.values() for b, head in entries),
-            default=(0, ''), key=lambda x: x[0]),
-        'ring_wire_bytes_per_step': round(wire_per_step),
-        'ici_gbps_needed_for_90pct_scaling': round(needed_gbps, 2),
+        'mesh': 'data=4 x model=2 (8 virtual CPU devices)',
+        'train_step': train_row,
+        'eval_block': eval_row,
+        'retrieval_call': retr_row,
         'note': ('bytes from the GSPMD-partitioned HLO on the CPU backend; '
-                 'wire cost modeled as ring 2(N-1)/N; compare '
-                 'ici_gbps_needed against the target TPU generation\'s '
-                 'per-chip ICI bandwidth'),
+                 'wire cost modeled as ring 2(N-1)/N over the relevant '
+                 'axis; compare each ici_gbps_needed against the target '
+                 'TPU generation\'s per-chip ICI bandwidth'),
     }
     print(json.dumps(result, indent=2))
     with open(Path(__file__).parent / 'collective_account.json', 'w') as f:

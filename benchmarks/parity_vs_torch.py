@@ -55,6 +55,18 @@ SCALES = {
     'ml10m': dict(num_users=72_000, num_items=10_000, interactions=10_000_000,
                   dim=32, batch=8192, epochs=5, exact=False, trials=3,
                   affinity_bias=3.0, out='parity_vs_torch_ml10m.json'),
+    # The 7.02M ex/s headline configuration EXACTLY as benchmarked
+    # (bench_ml10m_scale.py: B=65536, 10 epochs, exact sampling on our side).
+    # The torch twin keeps the reference's approximate fast path — exact
+    # rejection over ~8M host-side positive keys is intractable for torch at
+    # this scale, and approximate is what the reference's own 10M tutorial
+    # uses — so ``ours_exact`` below ALSO runs an ours-approximate arm for
+    # the apples-to-apples trainer ratio alongside the headline-config arm.
+    'ml10m_headline': dict(num_users=72_000, num_items=10_000,
+                           interactions=10_000_000, dim=32, batch=65_536,
+                           epochs=10, exact=False, ours_exact=True, trials=5,
+                           affinity_bias=3.0,
+                           out='parity_vs_torch_ml10m_headline.json'),
 }
 CFG = SCALES['ml100k']
 
@@ -203,7 +215,7 @@ def eval_score_matrix(full_scores, val, user_chunk=8192):
 
 # ----------------------------------------------------------------- jax stack
 
-def train_collie_tpu(train, val, seed):
+def train_collie_tpu(train, val, seed, exact=None):
     from collie_tpu.data import (ApproximateNegativeSamplingInteractionsDataLoader,
                                  InteractionsDataLoader)
     from collie_tpu.evaluate import evaluate_in_batches
@@ -212,8 +224,20 @@ def train_collie_tpu(train, val, seed):
     from collie_tpu.training.trainer import CollieTrainer
 
     # sampling mode must match the torch twin's (exact rejection vs plain
-    # randint) or the ratio conflates trainer quality with sampler quality
-    loader_cls = (InteractionsDataLoader if CFG['exact']
+    # randint) or the ratio conflates trainer quality with sampler quality;
+    # the ml10m_headline preset's second arm overrides this to run the
+    # headline config's exact sampler against the same torch baseline
+    if exact is None:
+        exact = CFG['exact']
+    if exact:
+        # the approximate loader's ctor zeroes this IN PLACE on the shared
+        # split (reference-parity mutation, dataloaders.py:256-265) — an
+        # exact arm running after an approximate arm must restore it or it
+        # silently trains approximate (caught round 5: both arms identical)
+        for part in (train, val):
+            if part.max_number_of_samples_to_consider == 0:
+                part.max_number_of_samples_to_consider = 200
+    loader_cls = (InteractionsDataLoader if exact
                   else ApproximateNegativeSamplingInteractionsDataLoader)
     train_loader = loader_cls(interactions=train, batch_size=BATCH,
                               shuffle=True, seed=seed)
@@ -284,10 +308,16 @@ def main():
 
         train, val = build_split()
         jax_runs = []
+        jax_exact_runs = []
         t1 = time.perf_counter()
         for s in range(args.trials):
             jax_runs.append(train_collie_tpu(train, val, seed=s))
             print(f'collie_tpu seed {s}: {jax_runs[-1]}', flush=True)
+            if CFG.get('ours_exact'):
+                jax_exact_runs.append(
+                    train_collie_tpu(train, val, seed=s, exact=True))
+                print(f'collie_tpu (exact/headline) seed {s}: '
+                      f'{jax_exact_runs[-1]}', flush=True)
         jax_secs = time.perf_counter() - t1
 
         if proc.wait() != 0:
@@ -314,13 +344,10 @@ def main():
         'wall_secs_both_phases': round(wall_secs, 1),
         'metrics': {},
     }
-    all_pass = True
-    for metric in ('mapk', 'mrr', 'auc'):
+    def _metric_stats(metric, jruns):
         tvals = np.array([r[metric] for r in torch_runs])
-        jvals = np.array([r[metric] for r in jax_runs])
+        jvals = np.array([r[metric] for r in jruns])
         gate = float(tvals.mean() - 5 * tvals.std())
-        passed = bool(jvals.mean() >= gate)
-        all_pass &= passed
         # Paired-by-seed statistic: trial s on each side trains on the same
         # data with seed s.  The RNG streams differ across frameworks, so the
         # pairing removes only the shared split, not sampling noise — the
@@ -333,14 +360,14 @@ def main():
             t_welch, p_welch = stats.ttest_ind(jvals, tvals, equal_var=False)
         except Exception:
             t_paired = p_paired = t_welch = p_welch = float('nan')
-        result['metrics'][metric] = {
+        return {
             'torch_mean': round(float(tvals.mean()), 5),
             'torch_std': round(float(tvals.std()), 5),
             'collie_tpu_mean': round(float(jvals.mean()), 5),
             'collie_tpu_std': round(float(jvals.std()), 5),
             'gate_torch_mean_minus_5_std': round(gate, 5),
             'ratio_vs_torch': round(float(jvals.mean() / tvals.mean()), 4),
-            'pass': passed,
+            'pass': bool(jvals.mean() >= gate),
             'paired_diff_mean': round(float(diffs.mean()), 5),
             'paired_diff_std': round(float(diffs.std()), 5),
             'paired_t': round(float(t_paired), 3),
@@ -350,7 +377,20 @@ def main():
             'torch_runs': [round(float(v), 5) for v in tvals],
             'collie_tpu_runs': [round(float(v), 5) for v in jvals],
         }
+
+    all_pass = True
+    for metric in ('mapk', 'mrr', 'auc'):
+        result['metrics'][metric] = _metric_stats(metric, jax_runs)
+        all_pass &= result['metrics'][metric]['pass']
     result['all_pass'] = bool(all_pass)
+    if jax_exact_runs:
+        # the headline-config arm: exact sampling + dedup, the configuration
+        # that produced the 7.02M ex/s artifact, vs the SAME torch baseline
+        result['headline_exact_metrics'] = {
+            metric: _metric_stats(metric, jax_exact_runs)
+            for metric in ('mapk', 'mrr', 'auc')}
+        result['headline_all_pass'] = bool(all(
+            m['pass'] for m in result['headline_exact_metrics'].values()))
 
     out = Path(__file__).parent / CFG['out']
     with open(out, 'w') as f:

@@ -179,24 +179,48 @@ def _build_sharded_retrieval(model, k, item_tile, filter_seen, mesh, _local_topk
     from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
 
     num_items = model.hparams['num_items']
+    num_users = model.hparams['num_users']
     n_shards = mesh.shape[MODEL_AXIS]
     local_tables = (type(model) is MatrixFactorizationModel
                     and num_items % n_shards == 0)
     shard_span = num_items // n_shards if local_tables \
         else -(-num_items // n_shards)
     n_tiles = -(-shard_span // item_tile)
+    # user tables ALSO enter row-sharded when divisible: declaring them P()
+    # makes GSPMD all-gather the whole table before the shard body — a
+    # per-call O(num_users x dim) transfer the round-5 collective account
+    # caught (1 MB/call at 4k users; unbounded at serving scale).  The
+    # masked-local-gather + psum below moves only the B requested rows.
+    local_users = local_tables and num_users % n_shards == 0
+    rows_u = num_users // n_shards if local_users else num_users
 
     param_names = sorted(model.params.keys())
-    specs = {
-        name: (P(MODEL_AXIS, *([None] * (model.params[name].ndim - 1)))
-               if local_tables and name.startswith('item') else P())
-        for name in param_names
-    }
+
+    def _spec_for(name):
+        sharded = (local_tables and name.startswith('item')) \
+            or (local_users and name.startswith('user'))
+        ndim = model.params[name].ndim
+        return P(MODEL_AXIS, *([None] * (ndim - 1))) if sharded else P()
+
+    specs = {name: _spec_for(name) for name in param_names}
+
+    def _user_rows(params, name, user_ids):
+        """[B, ...] user rows under either user-table layout."""
+        leaf = params[name]
+        if not local_users:
+            return leaf[user_ids]
+        u_start = jax.lax.axis_index(MODEL_AXIS) * rows_u
+        local = user_ids - u_start
+        ok = (local >= 0) & (local < rows_u)
+        rows = jnp.take(leaf, jnp.clip(local, 0, rows_u - 1), axis=0)
+        rows = jnp.where(ok.reshape((-1,) + (1,) * (rows.ndim - 1)), rows, 0)
+        return jax.lax.psum(rows, MODEL_AXIS)
 
     def _local_topk_from_shard(params, user_ids, seen, start):
         """Blockwise top-k scoring straight off the local table shard."""
-        user_emb = params['user_embeddings'][user_ids].astype(jnp.float32)
-        user_bias = params['user_biases'][user_ids]
+        user_emb = _user_rows(params, 'user_embeddings',
+                              user_ids).astype(jnp.float32)
+        user_bias = _user_rows(params, 'user_biases', user_ids)
         B = user_ids.shape[0]
         init = (jnp.full((B, k), NEG_INF), jnp.zeros((B, k), jnp.int32))
 

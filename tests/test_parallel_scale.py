@@ -232,3 +232,54 @@ def test_train_step_collectives_stay_data_sharded():
     assert not offenders, (
         'oversized (replicated?) collective in sharded train program:\n'
         + '\n'.join(offenders))
+
+
+def test_sharded_retrieval_no_user_table_allgather(mesh8, big_model):
+    """The round-5 collective account caught sharded retrieval all-gathering
+    the ENTIRE user table per call (its P() in_spec made GSPMD replicate it
+    — O(num_users x dim) on ICI, 1 MB/call at 4k users).  The fix enters
+    user tables row-sharded and moves only the B requested rows via a
+    masked local gather + psum.  Pin: the lowered retrieval program emits no
+    user- or item-table-sized all-gather, and its collectives stay within
+    the O(B x dim + devices x k) budget."""
+    from collie_tpu.retrieval import build_retrieval_fn
+
+    model, _ = big_model
+    params = shard_params(dict(model.params), mesh8)
+    assert not params['user_embeddings'].sharding.is_fully_replicated
+    fn = build_retrieval_fn(model, k=10, item_tile=4096, filter_seen=False,
+                            mesh=mesh8)
+    B = 64
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    txt = fn.lower(
+        params,
+        jax.ShapeDtypeStruct((B,), np.int32,
+                             sharding=NamedSharding(mesh8, P())),
+    ).compile().as_text()
+    assert not _table_allgather_lines(txt), 'table-sized all-gather in retrieval'
+
+    # every collective's result must fit the per-call budget: B user rows
+    # (psum'd) or the devices*k candidate merge, with 4x tuple headroom
+    limit = 4 * max(B * (DIM + 1) * 4, 8 * 10 * B * 8)
+    shape_re = re.compile(r'(?:f32|s32|u32|bf16)\[([\d,]+)\]')
+    offenders, seen = [], 0
+    for line in txt.splitlines():
+        s = line.strip()
+        if ' = ' not in s:
+            continue
+        if not any(f' {op}(' in s or f' {op}-start(' in s
+                   for op in ('all-reduce', 'all-gather', 'reduce-scatter',
+                              'all-to-all')):
+            continue
+        seen += 1
+        result = s.split(' = ', 1)[1]
+        for dims in shape_re.findall(result.split('(')[0]):
+            count = 1
+            for d in dims.split(','):
+                count *= int(d)
+            if count * 4 > limit:
+                offenders.append(s[:160])
+                break
+    assert seen > 0, 'collective parser matched nothing — detector is vacuous'
+    assert not offenders, ('oversized collective in sharded retrieval:\n'
+                           + '\n'.join(offenders))
