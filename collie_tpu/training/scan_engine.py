@@ -94,20 +94,16 @@ def _fused_epoch_config(model, specs, active, loader, mesh):
         meta_names = tuple(sorted(model.metadata_for_loss))
     from collie_tpu.ops import losses as L
     if explicit:
-        # pointwise twin kernel: mse/mae, y_range allowed (the reference's
-        # explicit quickstart config uses y_range=[1, 5]).  In auto mode,
-        # prefer the XLA scan path when the model supports fused tables:
-        # the fused [*, D+1] layout took the scan path past the explicit
-        # kernel (1.12M vs 1.00M ex/s at the explicit quickstart config,
-        # benchmarks/explicit_results.json round 4) — the pointwise step
-        # has no K-negative block for the kernel's one-hot MXU gathers to
-        # amortize.  '1' still forces the kernel (numerics tests), and a
-        # named-layout scan (COLLIE_TPU_FUSED_TABLES=0) keeps the kernel —
-        # unfused scan measured slower (766k ex/s).
-        if gate != '1' \
-                and os.environ.get('COLLIE_TPU_FUSED_TABLES', 'auto') != '0' \
-                and getattr(model, 'supports_fused_tables',
-                            lambda: False)():
+        # RETIRED from auto selection (round 5): the pointwise twin kernel
+        # has no winning envelope.  Measured at the explicit quickstart
+        # config: scan 1.12M vs kernel 1.00M ex/s at B=1024 (round 4), and
+        # the round-5 batch sweep found the kernel 0.51x of scan at B=256
+        # and failing to compile at B>=1024 on the current libtpu (scoped
+        # vmem 16.8M > 16M limit; benchmarks/explicit_sweep notes,
+        # docs/TUNING.md).  The explicit step has no K-negative block for
+        # the kernel's one-hot MXU gathers to amortize.  '1' still forces
+        # it — the numerics tests run it in interpret mode on CPU.
+        if gate != '1':
             return None
         _explicit_losses = {L.mse_loss: 'mse', L.mae_loss: 'mae'}
         if model.loss_function not in _explicit_losses:
