@@ -52,6 +52,15 @@ VARIANTS = {
     'dedup0': {'_dedup0': '1'},
     'noshuffle': {'_noshuffle': '1'},
     'unfused': {'COLLIE_TPU_FUSED_TABLES': '0'},
+    # the XLA scan engine instead of the Pallas kernel — pre-flight-dispatch
+    # every variant (kernel or scan) landed at ~0.31 ms/step, locating the
+    # cost OUTSIDE the step body
+    'nokernel': {'COLLIE_TPU_FUSED_EPOCH': '0'},
+    'nokernel_approx': {'COLLIE_TPU_FUSED_EPOCH': '0', '_approx_loader': '1'},
+    # epoch-count ladder: the slope is the true marginal ms/step, the
+    # intercept the per-fit fixed cost (host RPC syncs + dispatch)
+    'base40': {'_epochs': '40'},
+    'base80': {'_epochs': '80'},
 }
 
 
@@ -73,6 +82,7 @@ def run_variant(name):
     from collie_tpu.training.trainer import CollieTrainer
 
     train = build_gate_data()
+    epochs = int(os.environ.get('_epochs', str(EPOCHS)))
     cls = (ApproximateNegativeSamplingInteractionsDataLoader
            if os.environ.get('_approx_loader') else InteractionsDataLoader)
     shuffle = not os.environ.get('_noshuffle')
@@ -80,7 +90,7 @@ def run_variant(name):
     loader = cls(interactions=train, batch_size=B, shuffle=shuffle, seed=42)
     model = MatrixFactorizationModel(train=loader, embedding_dim=DIM,
                                      lr=1e-1, loss='adaptive', seed=42)
-    trainer = CollieTrainer(model, max_epochs=EPOCHS, verbosity=0, seed=42,
+    trainer = CollieTrainer(model, max_epochs=epochs, verbosity=0, seed=42,
                             exact_sampling_dedup_rounds=dedup)
     trainer.fit(model)                                   # warm: compiles
     best = float('inf')
@@ -88,15 +98,16 @@ def run_variant(name):
         model.hparams['num_epochs_completed'] = 0
         model.hparams['seed'] = 42
         model._setup_model()
-        trainer = CollieTrainer(model, max_epochs=EPOCHS, verbosity=0,
+        trainer = CollieTrainer(model, max_epochs=epochs, verbosity=0,
                                 seed=42, exact_sampling_dedup_rounds=dedup)
         t0 = time.perf_counter()
         trainer.fit(model)
         best = min(best, time.perf_counter() - t0)
-    steps = -(-len(train) // B) * EPOCHS
-    print(json.dumps({'variant': name,
+    steps = -(-len(train) // B) * epochs
+    print(json.dumps({'variant': name, 'epochs': epochs,
+                      'fit_ms': round(best * 1e3, 1),
                       'ms_per_step': round(best / steps * 1e3, 4),
-                      'examples_per_sec': round(len(train) * EPOCHS / best)}),
+                      'examples_per_sec': round(len(train) * epochs / best)}),
           flush=True)
 
 
@@ -175,6 +186,83 @@ def floor_scan_ms_per_step():
     return best / (ITERS * S) * 1e3
 
 
+def engine_body_ms_per_step():
+    """The REAL step body (calculate_loss + value_and_grad + the actual
+    optax transforms, fused tables) scanned over precomputed batches — no
+    sampler, no shuffle, no whole-fit wrapper.  Bridges floor+scan to the
+    engine: whatever this costs above floor+scan is autodiff + optimizer
+    structure; whatever the engine costs above THIS is epoch machinery."""
+    import jax
+    import jax.numpy as jnp
+
+    train = build_gate_data()
+    from collie_tpu.data import InteractionsDataLoader
+    from collie_tpu.models.matrix_factorization import MatrixFactorizationModel
+    loader = InteractionsDataLoader(interactions=train, batch_size=B,
+                                    shuffle=True, seed=42)
+    model = MatrixFactorizationModel(train=loader, embedding_dim=DIM,
+                                     lr=1e-1, loss='adaptive', seed=42)
+    specs = model.optimizer_specs()
+    n = train.num_interactions
+    S = -(-n // B)
+    rng = np.random.default_rng(0)
+    batches = {
+        'users': jnp.asarray(rng.integers(0, 943, (S, B)).astype(np.int32)),
+        'pos_items': jnp.asarray(rng.integers(0, 1682, (S, B)).astype(np.int32)),
+        'neg_items': jnp.asarray(rng.integers(0, 1682, (S, B, K)).astype(np.int32)),
+        'mask': jnp.ones((S, B), jnp.float32),
+    }
+    params = dict(model.params)
+    opt_states = tuple(jax.jit(s.transform.init)(
+        {k: params[k] for k in s.keys}) for s in specs)
+    fuse = model.supports_fused_tables()
+
+    def epoch(carry, _):
+        params, opt_states = carry
+
+        def step(inner, batch):
+            params, opt_states = inner
+            loss, grads = jax.value_and_grad(
+                lambda p: model.calculate_loss(p, batch, rng=None,
+                                               training=True))(params)
+            if fuse:
+                params = model.unfuse_params(params)
+                grads = model.unfuse_params(grads)
+            new_states = list(opt_states)
+            for i, spec in enumerate(specs):
+                sub_p = {k: params[k] for k in spec.keys}
+                sub_g = {k: grads[k] for k in spec.keys}
+                upd, new_states[i] = spec.transform.update(
+                    sub_g, opt_states[i], sub_p)
+                params = {**params,
+                          **{k: sub_p[k] + upd[k] for k in spec.keys}}
+            if fuse:
+                params = model.fuse_params(params)
+            return (params, tuple(new_states)), loss
+
+        if fuse:
+            params = model.fuse_params(params)
+        (params, opt_states), losses = jax.lax.scan(
+            step, (params, opt_states), batches)
+        if fuse:
+            params = model.unfuse_params(params)
+        return (params, opt_states), losses.mean()
+
+    @jax.jit
+    def many(params, opt_states):
+        (params, opt_states), losses = jax.lax.scan(
+            epoch, (params, opt_states), None, length=ITERS)
+        return losses.sum()
+
+    float(many(params, opt_states))
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many(params, opt_states))
+        best = min(best, time.perf_counter() - t0)
+    return best / (ITERS * S) * 1e3
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--variant', default=None)
@@ -217,7 +305,10 @@ def main():
     fs = floor_scan_ms_per_step()
     print(json.dumps({'floor_plus_scan_ms_per_step': round(fs, 4)}),
           flush=True)
+    eb = engine_body_ms_per_step()
+    print(json.dumps({'engine_body_ms_per_step': round(eb, 4)}), flush=True)
     out = {'variants': rows, 'floor_plus_scan_ms_per_step': round(fs, 4),
+           'engine_body_ms_per_step': round(eb, 4),
            'config': {'B': B, 'dim': DIM, 'k': K, 'epochs': EPOCHS}}
     (Path(__file__).parent / 'gate_decompose.json').write_text(
         json.dumps(out, indent=2) + '\n')

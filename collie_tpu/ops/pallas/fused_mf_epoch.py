@@ -70,10 +70,16 @@ _VMEM_BUDGET_BYTES = 32 * 2**20
 
 
 def _chunk_size(batch_size: int) -> int:
-    """Largest power-of-two chunk <= 256 dividing the batch (falls back to the
-    whole batch when it is an odd size — still correct, just more VMEM)."""
+    """Largest power-of-two chunk <= the cap dividing the batch (falls back
+    to the whole batch when it is an odd size — still correct, just more
+    VMEM).  Default cap 128 since round 5: the current libtpu enforces a
+    16 MiB scoped-vmem stack limit and the c=256 blocking overflowed it by
+    ~0.3-0.8 MiB at ML-100K shapes (fresh compiles failed; earlier rounds
+    rode cached binaries).  ``COLLIE_TPU_FUSED_CHUNK`` overrides."""
+    import os
+    cap = int(os.environ.get('COLLIE_TPU_FUSED_CHUNK', '128'))
     for c in (256, 128, 64, 32, 16, 8):
-        if batch_size % c == 0:
+        if c <= cap and batch_size % c == 0:
             return c
     return batch_size
 

@@ -569,31 +569,48 @@ class CollieTrainer:
                 for v in jax.device_get(tuple(
                     _find_hyperparams(state_box['opt_states'][i])
                     .get('learning_rate') for i in range(len(specs))))]
+        # Blocks dispatch back-to-back WITHOUT an intermediate sync: the fit
+        # program already handles stopping on device (post-stop epochs run
+        # the lax.cond identity branch), so the host only needs the results
+        # once per FLIGHT of blocks.  Each host sync is a ~24 ms tunnel
+        # round trip — the round-5 gate decomposition measured per-fit fixed
+        # cost (not per-step compute) as the whole gap between the engine's
+        # 0.31 ms/step and its 0.085 ms/step marginal rate at B=1024.  A
+        # flight caps deferred dispatches so a 1000-epoch early-stopped fit
+        # still exits within ~64 skipped epochs.
+        _FLIGHT = 4
         tl_parts, vl_parts, lrs_parts, ran_parts = [], [], [], []
         block_start = start_epoch
-        for b in blocks:
-            epoch_idxs = jnp.arange(block_start, block_start + b,
-                                    dtype=jnp.int32)
-            (params, opt_states, sched_state, es_state, train_losses,
-             val_losses, lrs, ran) = fit_fn_for(b)(
-                state_box['params'], state_box['opt_states'],
-                train_epoch_data, val_epoch_data, base_rng, epoch_idxs,
-                sched_state, es_state)
-            state_box['params'] = params
-            state_box['opt_states'] = opt_states
-            # ONE host transfer per block: separate np.asarray calls would
-            # each pay a tunnel round trip
-            tl_h, vl_h, lrs_h, ran_h, stopped_h = jax.device_get(
-                (train_losses, val_losses, lrs, ran, es_state[2]))
-            tl_parts.append(tl_h)
-            vl_parts.append(vl_h)
-            lrs_parts.append(list(lrs_h))
-            ran_parts.append(ran_h)
-            block_start += b
+        stopped_h = False
+        for f0 in range(0, len(blocks), _FLIGHT):
+            flight = blocks[f0:f0 + _FLIGHT]
+            pending = []
+            for b in flight:
+                epoch_idxs = jnp.arange(block_start, block_start + b,
+                                        dtype=jnp.int32)
+                (params, opt_states, sched_state, es_state, train_losses,
+                 val_losses, lrs, ran) = fit_fn_for(b)(
+                    state_box['params'], state_box['opt_states'],
+                    train_epoch_data, val_epoch_data, base_rng, epoch_idxs,
+                    sched_state, es_state)
+                state_box['params'] = params
+                state_box['opt_states'] = opt_states
+                pending.append((train_losses, val_losses, lrs, ran))
+                block_start += b
+            # ONE host transfer per flight (losses/lrs/ran for every block
+            # plus the scheduler/early-stop state — separate fetches would
+            # each pay the round trip)
+            pending_h, stopped_h, sched_h, es_h = jax.device_get(
+                (pending, es_state[2], sched_state, es_state))
+            for tl_h, vl_h, lrs_h, ran_h in pending_h:
+                tl_parts.append(tl_h)
+                vl_parts.append(vl_h)
+                lrs_parts.append(list(lrs_h))
+                ran_parts.append(ran_h)
             if bool(stopped_h):                     # stopped (ES or NaN)
                 break
 
-        sched_state, es_state = jax.device_get((sched_state, es_state))
+        sched_state, es_state = sched_h, es_h
         for s, st in zip(schedulers, sched_state):
             scheduler_absorb_device_state(s, st)
 

@@ -40,8 +40,8 @@ def test_set_lr_changes_rate_without_changing_aval():
     new_state = set_lr(state, 0.01)
     new = jnp.asarray(new_state.hyperparams['learning_rate'])
     assert get_lr(new_state) == pytest.approx(0.01)
-    assert jax.core.get_aval(old).strip_weak_type() == \
-        jax.core.get_aval(new).strip_weak_type()
+    assert jax.typeof(old).strip_weak_type() == \
+        jax.typeof(new).strip_weak_type()
     assert getattr(old, 'weak_type', False) == getattr(new, 'weak_type', False)
 
 
