@@ -255,6 +255,41 @@ def train_collie_tpu(train, val, seed, exact=None):
 
 # ----------------------------------------------------------------- harness
 
+def metric_stats(metric, torch_runs, jruns):
+    """Gate + paired/Welch statistics for one metric over paired trial runs."""
+    tvals = np.array([r[metric] for r in torch_runs])
+    jvals = np.array([r[metric] for r in jruns])
+    gate = float(tvals.mean() - 5 * tvals.std())
+    # Paired-by-seed statistic: trial s on each side trains on the same
+    # data with seed s.  The RNG streams differ across frameworks, so the
+    # pairing removes only the shared split, not sampling noise — the
+    # Welch two-sample test is reported alongside as the primary check
+    # of whether the mean gap is distinguishable from run variance.
+    diffs = jvals - tvals
+    try:
+        from scipy import stats
+        t_paired, p_paired = stats.ttest_rel(jvals, tvals)
+        t_welch, p_welch = stats.ttest_ind(jvals, tvals, equal_var=False)
+    except Exception:
+        t_paired = p_paired = t_welch = p_welch = float('nan')
+    return {
+        'torch_mean': round(float(tvals.mean()), 5),
+        'torch_std': round(float(tvals.std()), 5),
+        'collie_tpu_mean': round(float(jvals.mean()), 5),
+        'collie_tpu_std': round(float(jvals.std()), 5),
+        'gate_torch_mean_minus_5_std': round(gate, 5),
+        'ratio_vs_torch': round(float(jvals.mean() / tvals.mean()), 4),
+        'pass': bool(jvals.mean() >= gate),
+        'paired_diff_mean': round(float(diffs.mean()), 5),
+        'paired_diff_std': round(float(diffs.std()), 5),
+        'paired_t': round(float(t_paired), 3),
+        'paired_p': round(float(p_paired), 4),
+        'welch_t': round(float(t_welch), 3),
+        'welch_p': round(float(p_welch), 4),
+        'torch_runs': [round(float(v), 5) for v in tvals],
+        'collie_tpu_runs': [round(float(v), 5) for v in jvals],
+    }
+
 def _torch_worker(trials: int, out_path: str):
     """Torch phase in its own process with jax pinned to CPU.
 
@@ -282,6 +317,10 @@ def main():
     parser.add_argument('--scale', choices=sorted(SCALES), default='ml100k')
     parser.add_argument('--trials', type=int, default=None,
                         help='default: the scale preset''s trial count')
+    parser.add_argument('--exact-arms-only', action='store_true',
+                        help='re-run ONLY the ours-exact (headline-config) '
+                             'arms against the torch runs already stored in '
+                             'the scale\'s output JSON — no torch re-run')
     parser.add_argument('--torch-worker', type=str, default=None,
                         help=argparse.SUPPRESS)
     args = parser.parse_args()
@@ -291,6 +330,31 @@ def main():
 
     if args.torch_worker is not None:
         _torch_worker(args.trials, args.torch_worker)
+        return
+
+    if args.exact_arms_only:
+        out = Path(__file__).parent / CFG['out']
+        result = json.loads(out.read_text())
+        torch_runs = [
+            {m: result['metrics'][m]['torch_runs'][s]
+             for m in ('mapk', 'mrr', 'auc')}
+            for s in range(len(result['metrics']['mapk']['torch_runs']))]
+        train, val = build_split()
+        jax_exact_runs = []
+        for s in range(len(torch_runs)):
+            jax_exact_runs.append(
+                train_collie_tpu(train, val, seed=s, exact=True))
+            print(f'collie_tpu (exact/headline) seed {s}: '
+                  f'{jax_exact_runs[-1]}', flush=True)
+        result['headline_exact_metrics'] = {
+            m: metric_stats(m, torch_runs, jax_exact_runs)
+            for m in ('mapk', 'mrr', 'auc')}
+        result['headline_all_pass'] = bool(all(
+            v['pass'] for v in result['headline_exact_metrics'].values()))
+        out.write_text(json.dumps(result, indent=2))
+        for m, stats in result['headline_exact_metrics'].items():
+            print(m, {k: v for k, v in stats.items()
+                      if not k.endswith('_runs')})
         return
 
     import subprocess
@@ -345,39 +409,7 @@ def main():
         'metrics': {},
     }
     def _metric_stats(metric, jruns):
-        tvals = np.array([r[metric] for r in torch_runs])
-        jvals = np.array([r[metric] for r in jruns])
-        gate = float(tvals.mean() - 5 * tvals.std())
-        # Paired-by-seed statistic: trial s on each side trains on the same
-        # data with seed s.  The RNG streams differ across frameworks, so the
-        # pairing removes only the shared split, not sampling noise — the
-        # Welch two-sample test is reported alongside as the primary check
-        # of whether the mean gap is distinguishable from run variance.
-        diffs = jvals - tvals
-        try:
-            from scipy import stats
-            t_paired, p_paired = stats.ttest_rel(jvals, tvals)
-            t_welch, p_welch = stats.ttest_ind(jvals, tvals, equal_var=False)
-        except Exception:
-            t_paired = p_paired = t_welch = p_welch = float('nan')
-        return {
-            'torch_mean': round(float(tvals.mean()), 5),
-            'torch_std': round(float(tvals.std()), 5),
-            'collie_tpu_mean': round(float(jvals.mean()), 5),
-            'collie_tpu_std': round(float(jvals.std()), 5),
-            'gate_torch_mean_minus_5_std': round(gate, 5),
-            'ratio_vs_torch': round(float(jvals.mean() / tvals.mean()), 4),
-            'pass': bool(jvals.mean() >= gate),
-            'paired_diff_mean': round(float(diffs.mean()), 5),
-            'paired_diff_std': round(float(diffs.std()), 5),
-            'paired_t': round(float(t_paired), 3),
-            'paired_p': round(float(p_paired), 4),
-            'welch_t': round(float(t_welch), 3),
-            'welch_p': round(float(p_welch), 4),
-            'torch_runs': [round(float(v), 5) for v in tvals],
-            'collie_tpu_runs': [round(float(v), 5) for v in jvals],
-        }
-
+        return metric_stats(metric, torch_runs, jruns)
     all_pass = True
     for metric in ('mapk', 'mrr', 'auc'):
         result['metrics'][metric] = _metric_stats(metric, jax_runs)
