@@ -422,3 +422,22 @@ def test_metadata_fingerprint_safe_against_id_recycling_without_pinning():
         model._loss_fp_refs[old_id][1]() is not None
     live_entries = [e for e in model._loss_fp_refs.values() if e[1]() is not None]
     assert len(live_entries) == len(model._loss_fp_refs)
+
+
+def test_whole_fit_early_stopping_across_flights(implicit_train, monkeypatch):
+    """Round-5 flight dispatch: blocks go to device in flights of 4 with one
+    host sync per flight, so a stop inside flight 1 must (a) still report
+    the same stop epoch/best as the per-epoch loop and (b) leave the
+    post-stop epochs (including whole later flights) masked out of the
+    replay.  120 epochs = blocks [16 x 7, 8] = two flights."""
+    p1, t1, m1 = _fit(implicit_train, monkeypatch, True, epochs=120, lr=0.0,
+                      bias_lr=0.0, patience=2, scheduler=None)
+    p0, t0, m0 = _fit(implicit_train, monkeypatch, False, epochs=120, lr=0.0,
+                      bias_lr=0.0, patience=2, scheduler=None)
+    assert m1.hparams['num_epochs_completed'] == \
+        m0.hparams['num_epochs_completed'] < 120
+    assert t1.best_epoch_loss[0] == t0.best_epoch_loss[0]
+    np.testing.assert_allclose(t1.best_epoch_loss[1], t0.best_epoch_loss[1],
+                               rtol=1e-6)
+    for k in p0:
+        np.testing.assert_allclose(p1[k], p0[k], rtol=0, atol=1e-6)
