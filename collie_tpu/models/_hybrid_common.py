@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from collie_tpu.ops.embeddings import dropout
+from collie_tpu.ops.embeddings import dropout, embedding_lookup
 from collie_tpu.ops.nn import add_linear, linear
 
 
@@ -59,18 +59,70 @@ def build_combined_params(params: Dict, rng: jax.Array,
     return len(dims) - 1
 
 
-def metadata_tower_output(params: Dict, metadata: jnp.ndarray, ids: jnp.ndarray,
-                          metadata_type: str, n_layers: int, dropout_p: float,
-                          training: bool, rng) -> jnp.ndarray:
-    """Gather metadata rows and run them through the (optional) tower
-    (reference ``_compute_metadata_output``)."""
-    out = metadata[ids, :]
+def metadata_tower_layers(params: Dict, out: jnp.ndarray, metadata_type: str,
+                          n_layers: int, dropout_p: float, training: bool,
+                          rng) -> jnp.ndarray:
+    """The (optional) metadata MLP over already-gathered rows."""
     for i in range(n_layers):
         layer_rng = jax.random.fold_in(rng, i) if rng is not None else None
         out = dropout(layer_rng,
                       jax.nn.leaky_relu(linear(params, f'{metadata_type}_metadata_layer_{i}', out)),
                       dropout_p, training)
     return out
+
+
+def metadata_tower_output(params: Dict, metadata: jnp.ndarray, ids: jnp.ndarray,
+                          metadata_type: str, n_layers: int, dropout_p: float,
+                          training: bool, rng) -> jnp.ndarray:
+    """Gather metadata rows and run them through the (optional) tower
+    (reference ``_compute_metadata_output``)."""
+    return metadata_tower_layers(params, metadata[ids, :], metadata_type,
+                                 n_layers, dropout_p, training, rng)
+
+
+def hybrid_pairwise_scores(model, params, users, items, rngs, training,
+                           stop_grad_embeddings: bool = False) -> jnp.ndarray:
+    """Tile-AFTER-gather pairwise scoring for the metadata architectures.
+
+    The base hook tiles user ids ``R`` times and scores ``[R*B]`` flat pairs,
+    so every user-side gather (embedding rows, metadata rows) moves ``R``
+    duplicate copies through HBM and the backward scatters ``R*B`` rows into
+    the user table.  Here each user-side table is gathered ONCE (``[B, .]``)
+    and broadcast on-chip; item-side gathers keep 2-D ``[R, B]`` ids
+    (structure-preserving on a mesh — see ``BasePipeline._emb_bias_lookup``),
+    and the combined MLP runs at ``[R, B, .]``.  Outputs equal the base hook
+    element-for-element including dropout: ``jax.random.bernoulli`` draws the
+    same bits for ``(R*B, h)`` and ``(R, B, h)`` masks, pinned by
+    ``tests/test_pairwise_scores.py``.  ``rngs`` is the CALLER's split of the
+    pair rng, matching its ``score`` stream layout (the two hybrids split
+    into different counts)."""
+    R, B = items.shape
+    p = model.hparams.get('dropout_p', 0.0)
+    user_emb = embedding_lookup(params['user_embeddings'], users)     # [B, D]
+    item_emb = embedding_lookup(params['item_embeddings'], items)     # [R,B,D]
+    if stop_grad_embeddings:
+        user_emb = jax.lax.stop_gradient(user_emb)
+        item_emb = jax.lax.stop_gradient(item_emb)
+
+    pieces = []
+    if model.user_metadata is not None:
+        rows = model.user_metadata[users]                             # [B, F]
+        tiled = jnp.broadcast_to(rows[None], (R,) + rows.shape)
+        pieces.append(metadata_tower_layers(
+            params, tiled, 'user', model._n_meta_layers('user'), p,
+            training, rngs[0]))
+    pieces.append(jnp.broadcast_to(user_emb[None], (R,) + user_emb.shape))
+    pieces.append(item_emb)
+    if model.item_metadata is not None:
+        pieces.append(metadata_tower_output(
+            params, model.item_metadata, items, 'item',
+            model._n_meta_layers('item'), p, training, rngs[1]))
+
+    combined = jnp.concatenate(pieces, axis=-1)
+    return combined_prediction(params, combined,
+                               params['user_biases'][users][None, :],
+                               params['item_biases'][items],
+                               model.n_combined_layers, p, training, rngs[2])
 
 
 def combined_prediction(params: Dict, combined: jnp.ndarray, user_biases: jnp.ndarray,

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from collie_tpu.config import DATA_PATH
 from collie_tpu.models._hybrid_common import (as_float_array, build_combined_params,
                                               build_metadata_tower_params,
-                                              combined_prediction, load_hybrid_metadata,
+                                              combined_prediction, hybrid_pairwise_scores, load_hybrid_metadata,
                                               metadata_tower_output, save_hybrid_model)
 from collie_tpu.models.base import INTERACTIONS_LIKE_INPUT
 from collie_tpu.models.multi_stage import MultiStagePipeline
@@ -233,11 +233,16 @@ class HybridModel(MultiStagePipeline):
     def pairwise_scores(self, params, users, items, training=False, rng=None):
         """Single-gather fast path for the ``matrix_factorization`` stage
         (identical math to ``score``'s MF branch, dropout masks at the tiled
-        shape); the metadata-tower stages mix user and item features through
-        the combined MLP per pair, so they keep the tiled base hook."""
+        shape); the metadata-tower stages run the shared tile-after-gather
+        combined-MLP path (``_hybrid_common.hybrid_pairwise_scores`` —
+        user-side tables gathered once, backward user scatters shrink from
+        R*B to B rows)."""
         if self.hparams['stage'] != 'matrix_factorization':
-            return super().pairwise_scores(params, users, items,
-                                           training=training, rng=rng)
+            # same rng stream layout as score(): split(4), towers 0/1,
+            # combined 2
+            rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+            return hybrid_pairwise_scores(self, params, users, items, rngs,
+                                          training)
         R, B = items.shape
         user_embeddings = embedding_lookup(params['user_embeddings'], users)
         # 2-D ids straight into the gather (structure-preserving on a mesh)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from collie_tpu.config import DATA_PATH
 from collie_tpu.models._hybrid_common import (as_float_array, build_combined_params,
                                               build_metadata_tower_params,
-                                              combined_prediction, load_hybrid_metadata,
+                                              combined_prediction, hybrid_pairwise_scores, load_hybrid_metadata,
                                               metadata_tower_output, save_hybrid_model)
 from collie_tpu.models.base import INTERACTIONS_LIKE_INPUT, BasePipeline
 from collie_tpu.ops.embeddings import embedding_lookup, scaled_embedding_init, \
@@ -205,6 +205,16 @@ class HybridPretrainedModel(BasePipeline):
                                    params['user_biases'][users],
                                    params['item_biases'][items],
                                    self.n_combined_layers, p, training, rngs[2])
+
+    def pairwise_scores(self, params, users, items, training=False, rng=None):
+        """Tile-after-gather combined-MLP path (see
+        ``_hybrid_common.hybrid_pairwise_scores``); same rng stream layout as
+        ``score`` (split(3): towers 0/1, combined 2), same frozen-embedding
+        stop_gradient semantics."""
+        rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
+        return hybrid_pairwise_scores(
+            self, params, users, items, rngs, training,
+            stop_grad_embeddings=self._embeddings_frozen)
 
     def freeze_embeddings(self) -> None:
         """Stop optimizing the copied embedding tables (reference ``:476-479``)."""

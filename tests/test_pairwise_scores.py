@@ -150,13 +150,97 @@ def test_hybrid_override_matches_default_per_stage(train):
     want = _default_hook(model, model.params, users, items)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
-    # later stages must fall back to the tiled default (combined MLP mixes
-    # user and item features per pair)
+    # metadata stages run the shared tile-after-gather combined-MLP path
+    # (round 5) — outputs must still equal the tiled default at every stage
+    for _ in ('metadata_only', 'all'):
+        model.advance_stage()
+        got2 = model.pairwise_scores(model.params, users, items)
+        want2 = _default_hook(model, model.params, users, items)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=model.current_stage)
+
+
+def test_hybrid_override_matches_default_dropout_and_user_meta(train):
+    """The hybrid tile-after-gather path under BOTH metadata towers and
+    dropout: masks must draw at shapes reshape-equivalent to the tiled
+    [R*B, .] path from the same rng splits."""
+    from collie_tpu.model import HybridModel
+
+    rng_np = np.random.default_rng(0)
+    item_meta = rng_np.normal(size=(train.num_items, 3)).astype(np.float32)
+    user_meta = rng_np.normal(size=(train.num_users, 4)).astype(np.float32)
+    model = HybridModel(train=train, item_metadata=item_meta,
+                        user_metadata=user_meta, embedding_dim=8, seed=7,
+                        item_metadata_layers_dims=[6],
+                        user_metadata_layers_dims=[5],
+                        combined_layers_dims=[8, 4], dropout_p=0.3)
     model.advance_stage()
-    got2 = model.pairwise_scores(model.params, users, items)
-    want2 = _default_hook(model, model.params, users, items)
-    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+    model.advance_stage()              # 'all'
+    users, items = _ids(model)
+    rng = jax.random.PRNGKey(5)
+    got = model.pairwise_scores(model.params, users, items, training=True,
+                                rng=rng)
+    want = _default_hook(model, model.params, users, items, training=True,
+                         rng=rng)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_hybrid_override_gradients_match_default(train):
+    from collie_tpu.model import HybridModel
+
+    meta = np.random.default_rng(0).normal(size=(train.num_items, 3)
+                                           ).astype(np.float32)
+    model = HybridModel(train=train, item_metadata=meta, embedding_dim=8,
+                        seed=7, item_metadata_layers_dims=[6],
+                        combined_layers_dims=[8])
+    model.advance_stage()
+    model.advance_stage()
+    users, items = _ids(model)
+
+    def loss_via(fn):
+        def f(params):
+            s = fn(model, params, users, items)
+            return jnp.sum(jnp.tanh(s))
+        return jax.grad(f)(model.params)
+
+    g_override = loss_via(type(model).pairwise_scores)
+    g_default = loss_via(_default_hook)
+    for key in g_default:
+        np.testing.assert_allclose(np.asarray(g_override[key]),
+                                   np.asarray(g_default[key]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key)
+
+
+def test_hybrid_pretrained_override_matches_default(train):
+    """Frozen and unfrozen: the tile-after-gather path must preserve the
+    stop_gradient semantics AND the tiled outputs."""
+    from collie_tpu.model import HybridPretrainedModel, MatrixFactorizationModel
+
+    donor = MatrixFactorizationModel(train=train, embedding_dim=8, seed=3)
+    meta = np.random.default_rng(0).normal(size=(train.num_items, 3)
+                                           ).astype(np.float32)
+    model = HybridPretrainedModel(train=train, item_metadata=meta,
+                                  trained_model=donor,
+                                  combined_layers_dims=[8], seed=7)
+    users, items = _ids(model)
+    for frozen in (True, False):
+        model._embeddings_frozen = frozen
+        got = model.pairwise_scores(model.params, users, items)
+        want = _default_hook(model, model.params, users, items)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+        def f(params):
+            return jnp.sum(jnp.tanh(type(model).pairwise_scores(
+                model, params, users, items)))
+        g = jax.grad(f)(model.params)
+        emb_grad = float(jnp.abs(g['user_embeddings']).sum())
+        if frozen:
+            assert emb_grad == 0.0
+        else:
+            assert emb_grad > 0.0
 
 
 @pytest.mark.parametrize('which', ['mlp_mf', 'ncf', 'deep_fm'])
