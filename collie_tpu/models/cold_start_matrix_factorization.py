@@ -161,17 +161,34 @@ class ColdStartModel(MultiStagePipeline):
             }
         super().set_stage(stage)
 
-    def score(self, params, users, items, training=False, rng=None):
-        user_embeddings = embedding_lookup(params['user_embeddings'], users)
-        user_biases = params['user_biases'][users]
+    # fused [*, D+1] layout (round 5): all three (embeddings, biases) pairs
+    # ride as single tables through the scan engine, so the backward emits
+    # one scatter per table instead of two — the zoo bench measured the
+    # named-layout ColdStart at 0.67x of MF purely from the extra scatters
+    _FUSED_TABLE_SPEC = (
+        ('user_embeddings', 'user_biases', 'user_fused'),
+        ('item_embeddings', 'item_biases', 'item_fused'),
+        ('item_bucket_embeddings', 'item_bucket_biases', 'item_bucket_fused'),
+    )
 
+    def supports_fused_tables(self) -> bool:
+        return self._fused_tables_ok(ColdStartModel)
+
+    def _item_lookup(self, params, items):
+        """Stage-conditional item rows/biases under either table layout:
+        ``item_buckets`` maps ids through the bucket assignment first."""
         if self.hparams['stage'] == 'item_buckets':
-            items = self._item_buckets_device[items]
-            item_embeddings = embedding_lookup(params['item_bucket_embeddings'], items)
-            item_biases = params['item_bucket_biases'][items]
-        else:
-            item_embeddings = embedding_lookup(params['item_embeddings'], items)
-            item_biases = params['item_biases'][items]
+            mapped = self._item_buckets_device[items]
+            return self._emb_bias_lookup(
+                params, 'item_bucket_embeddings', 'item_bucket_biases',
+                'item_bucket_fused', mapped)
+        return self._emb_bias_lookup(
+            params, 'item_embeddings', 'item_biases', 'item_fused', items)
+
+    def score(self, params, users, items, training=False, rng=None):
+        user_embeddings, user_biases = self._emb_bias_lookup(
+            params, 'user_embeddings', 'user_biases', 'user_fused', users)
+        item_embeddings, item_biases = self._item_lookup(params, items)
 
         p = self.hparams.get('dropout_p', 0.0)
         rng_u, rng_i = (jax.random.split(rng) if rng is not None else (None, None))
@@ -183,26 +200,20 @@ class ColdStartModel(MultiStagePipeline):
     def pairwise_scores(self, params, users, items, training=False, rng=None):
         """Single-gather batched scoring (see ``BasePipeline.pairwise_scores``)
         with the stage-conditional item source: ``item_buckets`` maps item IDs
-        through the bucket assignment before the (bucket-)table gather."""
+        through the bucket assignment before the (bucket-)table gather.
+        2-D ids go straight through the mapping and gather — no flatten
+        (structure preservation matters on a mesh; see
+        ``BasePipeline._emb_bias_lookup``)."""
         R, B = items.shape
-        user_embeddings = embedding_lookup(params['user_embeddings'], users)
-        # 2-D ids straight through the (bucket-)mapping and gather — no
-        # flatten (structure preservation matters on a mesh; see
-        # BasePipeline._emb_bias_lookup)
-        if self.hparams['stage'] == 'item_buckets':
-            mapped = self._item_buckets_device[items]
-            item_embeddings = embedding_lookup(
-                params['item_bucket_embeddings'], mapped)
-            item_biases = params['item_bucket_biases'][mapped]
-        else:
-            item_embeddings = embedding_lookup(params['item_embeddings'], items)
-            item_biases = params['item_biases'][items]
+        user_embeddings, user_b = self._emb_bias_lookup(
+            params, 'user_embeddings', 'user_biases', 'user_fused', users)
+        item_embeddings, item_biases = self._item_lookup(params, items)
 
         rng_u, rng_i = (jax.random.split(rng) if rng is not None else (None, None))
         dots = tiled_dropout_dots(user_embeddings, item_embeddings, R, B,
                                   self.hparams.get('dropout_p', 0.0),
                                   training, rng_u, rng_i)
-        return (dots + params['user_biases'][users][None, :] + item_biases)
+        return dots + user_b[None, :] + item_biases
 
     def item_bucket_item_similarity(self, item_bucket_id: int) -> pd.Series:
         """Cosine similarity of one bucket embedding against every item

@@ -228,6 +228,34 @@ def complement_sample_negatives_bucketed_impl(rng: jax.Array,
     the epoch's real examples (batch padding, mask == 0 downstream) simply
     duplicate example ``idx[0]``'s negatives.
     """
+    negatives = complement_sample_negatives_bucketed_grouped_impl(
+        rng, users_g, bucket_specs, row_counts, num_items,
+        num_negative_samples, dedup_rounds=dedup_rounds, chunk=chunk)
+    return negatives[pos_of[idx]]                          # the ONE reorder
+
+
+def complement_sample_negatives_bucketed_grouped_impl(
+        rng: jax.Array,
+        users_g: jnp.ndarray,
+        bucket_specs,
+        row_counts: jnp.ndarray,
+        num_items: int,
+        num_negative_samples: int,
+        dedup_rounds: int = 1,
+        chunk: int = 8192) -> jnp.ndarray:
+    """The bucketed sampler's core, returning negatives in GROUPED order
+    (``[N_g, K]``) — no epoch reorder.
+
+    Split out in round 5: the ``negatives[pos_of[idx]]`` reorder chain
+    (a random element gather composed with a random row gather, ~60+ ms of
+    the sampler's ~135-180 ms/epoch at the ML-10M config,
+    ``benchmarks/sampler_r5.json``) is unnecessary when the caller can
+    compose the slot mapping into its OWN epoch gather — the scan engine's
+    fast path pre-sorts the packed interaction ids into grouped order at
+    build time and fetches ``(ids, negatives)`` rows with one gather
+    (``scan_engine.py::_epoch_batches``).  RNG stream identical to
+    :func:`complement_sample_negatives_bucketed_impl` (which is now a
+    wrapper over this plus the reorder)."""
     K = num_negative_samples
     N_g = users_g.shape[0]
     sizes = jnp.maximum(
@@ -294,7 +322,7 @@ def complement_sample_negatives_bucketed_impl(rng: jax.Array,
         subst = jnp.where(dup_rank == 0, spares[:, :1], spares[:, 1:2])
         use = dup & (dup_rank < SPARES_PER_ROUND)
         negatives = jnp.where(use, subst, negatives)
-    return negatives[pos_of[idx]]                          # the ONE reorder
+    return negatives
 
 
 def padded_table_bytes(csr, lane: int = 128) -> int:

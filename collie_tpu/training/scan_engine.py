@@ -28,6 +28,7 @@ from collie_tpu.data import (ApproximateNegativeSamplingInteractionsDataLoader,
 from collie_tpu.ops.device_sampling import (
     bucketed_table_bytes, build_bucketed_complement_tables,
     build_complement_tables, build_padded_complement_table,
+    complement_sample_negatives_bucketed_grouped_impl,
     complement_sample_negatives_bucketed_impl,
     complement_sample_negatives_impl, complement_sample_negatives_padded_impl,
     padded_table_bytes)
@@ -233,6 +234,7 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         S = -(-n // B)
         n_used = n
     pad = S * B - n_used
+    slot_tail = 0          # set by the slot-domain fast path (bucketed)
 
     # epoch data is passed to the jitted epoch fn as ARGUMENTS (bundled in
     # ``data``), never captured by closure: closure-captured device arrays
@@ -250,12 +252,13 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                                                      put_replicated)
         from collie_tpu.parallel.mesh import DATA_AXIS as _DA
         _n_data = mesh.shape[_DA]
-        _flat_pad = (-n) % _n_data
-
         def _put_epoch(x):
             x = np.asarray(x)
-            if _flat_pad and x.ndim == 1 and x.shape[0] == n:
-                x = np.concatenate([x, np.zeros(_flat_pad, x.dtype)])
+            # pad ANY flat epoch-length array to data-axis divisibility
+            # (in-jit gathers only touch real indices)
+            if x.ndim == 1 and x.shape[0] % _n_data:
+                extra = (-x.shape[0]) % _n_data
+                x = np.concatenate([x, np.zeros(extra, x.dtype)])
             return put_epoch_array(x, mesh)
 
         def _put_table(x):
@@ -310,7 +313,67 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                     (_put_table(r), _put_table(t)) for r, t in specs_np)
                 data['row_counts'] = _put_table(counts_np)
                 data['users_g'] = _put_table(users_g_np)
-                data['pos_of'] = _put_table(pos_of_np)
+                # ONE-GATHER epoch composition (round 5): the reorder chain
+                # packed[idx] + negatives[pos_of[idx]] costs three random
+                # [n]-sized gathers per epoch (~2 ms/step of the headline's
+                # 9.3, benchmarks/sampler_r5.json).  Pre-sorting the packed
+                # ids into GROUPED order on the host lets the epoch fetch
+                # (ids, negatives) rows with a single random gather: the
+                # grouped negatives compact densely through a MONOTONE
+                # gather (quasi-sequential), concat with the pre-sorted ids,
+                # and one combined[perm] row gather builds the epoch.  Batch
+                # composition stays a uniform shuffle (a fixed bijection
+                # composed with the Feistel permutation); each position's
+                # negatives still avoid exactly its own example's positives.
+                # Engaged when shuffling packable ids; other configurations
+                # keep the reorder path (sequential order must be preserved
+                # for shuffle=False).
+                N_g = len(users_g_np)
+                # slot-domain gate: bucket-pad slots become scattered masked
+                # positions, so the steps-per-epoch count grows by the pad
+                # fraction — negligible at scale (0.33% at ML-10M) but a
+                # semantic change at tiny scales where pow2 bucket padding
+                # can near-double N_g.  Engage only when pads are <= 2%.
+                if packable and shuffle and N_g >= 2 \
+                        and (N_g - n) <= 0.02 * n \
+                        and os.environ.get('COLLIE_TPU_SLOT_EPOCH',
+                                           '1') != '0':
+                    # SLOT-DOMAIN epoch (round 5): the reorder chain
+                    # packed[idx] + pos_of[idx] + negatives[...] costs two
+                    # latency-bound random ELEMENT gathers (~33 ms each per
+                    # 5M at ML-10M scale) plus a random row gather per
+                    # epoch.  Instead the epoch is drawn over GROUPED SLOTS:
+                    # packed ids and a validity bit are placed at slot
+                    # positions on the host (bucket-pad slots -> mask 0),
+                    # the epoch program concats them with the grouped
+                    # negatives into [N_g, 2+K] rows, and ONE
+                    # combined[feistel(N_g)] row gather produces the whole
+                    # shuffled epoch — no element gathers at all.  Batch
+                    # composition stays a uniform shuffle (pad slots are
+                    # 0.3% scattered masked positions, the same masked-
+                    # example semantics as tail padding); each position's
+                    # negatives avoid exactly its own example's positives.
+                    # Engaged when shuffling packable ids; other configs
+                    # keep the reorder path (shuffle=False must preserve
+                    # sequential order).
+                    packed_np = (inter.mat.row.astype(np.int64) << item_bits
+                                 | inter.mat.col.astype(np.int64)
+                                 ).astype(np.int32)
+                    packed_slots = np.zeros(N_g, np.int32)
+                    packed_slots[pos_of_np] = packed_np
+                    slot_mask = np.zeros(N_g, np.int32)
+                    slot_mask[pos_of_np] = 1
+                    data['packed_slots'] = _put_epoch(packed_slots)
+                    data['slot_mask'] = _put_epoch(slot_mask)
+                    del data['packed']      # the slot-domain path replaces
+                    del data['mask_flat']   # these position-based arrays
+                    # the epoch runs over all N_g slots; the real-example
+                    # count (throughput accounting, loss normalization by B
+                    # with masks) is unchanged
+                    S = -(-N_g // B)
+                    slot_tail = S * B - N_g
+                else:
+                    data['pos_of'] = _put_table(pos_of_np)
             elif kind == 'padded':
                 pad_np, counts_np = build_padded_complement_table(inter.mat)
                 data['shifted_pad'] = _put_table(pad_np)
@@ -343,6 +406,51 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
     def _epoch_batches(data, perm_rng, sample_rng):
         """Materialize the whole epoch on device: shuffled [S, B] id blocks
         plus (for implicit data) all negatives pre-sampled in one fused pass."""
+        if 'packed_slots' in data:
+            # slot-domain one-gather epoch (see the build-time comment).
+            # Under a mesh the arrays are padded for shard divisibility;
+            # the true slot count is S*B - slot_tail (static).
+            N_g = S * B - slot_tail
+            if shuffle_kind == 'feistel':
+                from collie_tpu.ops.shuffle import feistel_permutation
+                sigma = feistel_permutation(perm_rng, N_g)
+            else:
+                sigma = jax.random.permutation(perm_rng, N_g)
+            tail = S * B - N_g
+            sidx = jnp.concatenate([sigma, sigma[:1].repeat(tail)]) \
+                if tail else sigma
+            negs_g = complement_sample_negatives_bucketed_grouped_impl(
+                sample_rng, data['users_g'], data['bucket_specs'],
+                data['row_counts'], num_items, K, dedup_rounds=dedup_rounds)
+            combined = jnp.concatenate(
+                [data['packed_slots'][:, None], data['slot_mask'][:, None],
+                 negs_g], axis=1)
+            rows = combined[sidx]                # the ONE random gather
+            pk = rows[:, 0]
+            # appended tail positions duplicate slot sigma[0] — masked out
+            # by position (iota, no extra HBM array)
+            pos_ok = (jnp.arange(S * B) < N_g) if tail else 1
+            mask = rows[:, 1].astype(jnp.float32) * pos_ok
+            # bucket-PAD slots (mask 0) drew against their bucket's row 0 —
+            # a different user's positives — so their ids can land in
+            # [num_items, num_items + deg); out-of-range ids must never
+            # reach a table gather (jnp out-of-bounds gathers FILL NaN,
+            # which survives multiplication by a zero mask)
+            negs = jnp.minimum(rows[:, 2:], num_items - 1)
+            batches = {
+                'users': _constrain((pk >> item_bits).reshape(S, B)),
+                'pos_items': _constrain(
+                    (pk & ((1 << item_bits) - 1)).reshape(S, B)),
+                'mask': _constrain(mask.reshape(S, B)),
+                'neg_items': negs.reshape(S, B, K),
+            }
+            if data_spec is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from collie_tpu.parallel.mesh import DATA_AXIS
+                batches['neg_items'] = jax.lax.with_sharding_constraint(
+                    batches['neg_items'],
+                    NamedSharding(mesh, P(None, DATA_AXIS, None)))
+            return batches
         if shuffle and shuffle_kind == 'feistel':
             from collie_tpu.ops.shuffle import feistel_permutation
             perm = feistel_permutation(perm_rng, n)[:n_used]
@@ -488,10 +596,14 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
         # configuration keeps its semantics bit-for-bit.
         import os as _os
         _fuse_env = _os.environ.get('COLLIE_TPU_FUSED_TABLES', 'auto')
+        # stage-gated optimizer specs (multi-stage models) are fine: the
+        # optimizer always runs on the UNFUSED named slices of ACTIVE specs
+        # only; inactive specs' params round-trip through fuse/unfuse
+        # untouched (round 5 — this gate previously required all(active),
+        # which kept ColdStart on the 4-scatter named layout)
         fuse_tables = (_fuse_env != '0'
                        and getattr(model, 'supports_fused_tables',
-                                   lambda: False)()
-                       and all(active))
+                                   lambda: False)())
 
         def epoch_fn(params, opt_states, data, base_rng, epoch_idx):
             rng = jax.random.fold_in(base_rng, epoch_idx)
@@ -607,8 +719,7 @@ def build_hdf5_chunk_make(model, specs, active: List[bool], loader,
     _fuse_env = _os.environ.get('COLLIE_TPU_FUSED_TABLES', 'auto')
     fuse_tables = (_fuse_env != '0'
                    and getattr(model, 'supports_fused_tables',
-                               lambda: False)()
-                   and all(active))
+                               lambda: False)())
 
     def make(num_steps: int) -> Callable:
         C = num_steps * B

@@ -240,7 +240,8 @@ class CollieTrainer:
         sampler_flags = (
             os.environ.get('COLLIE_TPU_PADDED_SAMPLER_BUDGET_MB'),
             os.environ.get('COLLIE_TPU_SAMPLER', 'auto'),
-            os.environ.get('COLLIE_TPU_SHUFFLE', 'feistel'))
+            os.environ.get('COLLIE_TPU_SHUFFLE', 'feistel'),
+            os.environ.get('COLLIE_TPU_SLOT_EPOCH', '1'))
         path_flags = (model._sparse_selection_enabled(),
                       os.environ.get('COLLIE_TPU_FUSED_EPOCH', 'auto'),
                       os.environ.get('COLLIE_TPU_FUSED_TABLES', 'auto'),

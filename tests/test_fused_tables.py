@@ -137,11 +137,8 @@ def test_bf16_models_stay_on_named_layout(implicit_train, monkeypatch):
 
 
 def test_other_models_do_not_fuse(implicit_train):
-    """Subclasses (hybrid/cold-start inherit MF) must not take the fused
-    path — their extra params/stages are outside the fused contract."""
-    import numpy as _np
-
-    from collie_tpu.models.cold_start_matrix_factorization import ColdStartModel
+    """Undeclared subclasses must not take the fused path — their extra
+    params may be outside the fused contract."""
     from collie_tpu.model import MatrixFactorizationModel
 
     class Sub(MatrixFactorizationModel):
@@ -151,7 +148,38 @@ def test_other_models_do_not_fuse(implicit_train):
               seed=0)
     assert not sub.supports_fused_tables()
 
-    buckets = _np.arange(implicit_train.num_items) % 3
-    cold = ColdStartModel(train=implicit_train, item_buckets=buckets,
-                          embedding_dim=4, seed=0)
-    assert not cold.supports_fused_tables()
+
+def test_fused_tables_cold_start_both_stages(implicit_train, monkeypatch):
+    """ColdStart (round 5) fuses all THREE (embeddings, biases) pairs and
+    its optimizer specs are stage-gated — the fused trajectory must match
+    the named layout exactly at BOTH stages, including the bucket->item
+    copy-over between them."""
+    import numpy as _np
+
+    from collie_tpu.model import CollieTrainer
+    from collie_tpu.models.cold_start_matrix_factorization import ColdStartModel
+
+    buckets = _np.arange(implicit_train.num_items) % 7
+
+    def run(fused):
+        monkeypatch.setenv('COLLIE_TPU_FUSED_TABLES', '1' if fused else '0')
+        monkeypatch.setenv('COLLIE_TPU_FUSED_EPOCH', '0')
+        model = ColdStartModel(train=implicit_train, item_buckets=buckets,
+                               embedding_dim=6, seed=11, loss='adaptive')
+        assert model.supports_fused_tables()
+        logger = EpochLossLogger()
+        trainer = CollieTrainer(model, max_epochs=2, verbosity=0, seed=11,
+                                logger=logger)
+        trainer.fit(model)                        # item_buckets stage
+        model.advance_stage()                     # bucket -> item copy-over
+        trainer.max_epochs += 2
+        trainer.fit(model)                        # no_buckets stage
+        return model, logger.epoch_losses
+
+    m0, l0 = run(False)
+    m1, l1 = run(True)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    for k in m0.params:
+        np.testing.assert_allclose(np.asarray(m1.params[k]),
+                                   np.asarray(m0.params[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
