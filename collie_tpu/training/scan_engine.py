@@ -426,31 +426,23 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                 [data['packed_slots'][:, None], data['slot_mask'][:, None],
                  negs_g], axis=1)
             rows = combined[sidx]                # the ONE random gather
-            pk = rows[:, 0]
-            # appended tail positions duplicate slot sigma[0] — masked out
-            # by position (iota, no extra HBM array)
-            pos_ok = (jnp.arange(S * B) < N_g) if tail else 1
-            mask = rows[:, 1].astype(jnp.float32) * pos_ok
-            # bucket-PAD slots (mask 0) drew against their bucket's row 0 —
-            # a different user's positives — so their ids can land in
-            # [num_items, num_items + deg); out-of-range ids must never
-            # reach a table gather (jnp out-of-bounds gathers FILL NaN,
-            # which survives multiplication by a zero mask)
-            negs = jnp.minimum(rows[:, 2:], num_items - 1)
-            batches = {
-                'users': _constrain((pk >> item_bits).reshape(S, B)),
-                'pos_items': _constrain(
-                    (pk & ((1 << item_bits) - 1)).reshape(S, B)),
-                'mask': _constrain(mask.reshape(S, B)),
-                'neg_items': negs.reshape(S, B, K),
-            }
+            if tail:
+                # appended tail positions duplicate slot sigma[0] — zero
+                # their mask column once here, instead of materializing a
+                # position-iota mask array for the whole epoch
+                rows = rows.at[N_g:, 1].set(0)
+            # the scan consumes the PACKED rows directly (one [S, B, 2+K]
+            # buffer instead of four materialized epoch arrays — saves the
+            # ~260 MB of separate-array writes per epoch); each step body
+            # unpacks its [B, 2+K] block via _unpack_rows, which fuses into
+            # the step
+            rows = rows.reshape(S, B, 2 + K)
             if data_spec is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 from collie_tpu.parallel.mesh import DATA_AXIS
-                batches['neg_items'] = jax.lax.with_sharding_constraint(
-                    batches['neg_items'],
-                    NamedSharding(mesh, P(None, DATA_AXIS, None)))
-            return batches
+                rows = jax.lax.with_sharding_constraint(
+                    rows, NamedSharding(mesh, P(None, DATA_AXIS, None)))
+            return {'rows': rows}
         if shuffle and shuffle_kind == 'feistel':
             from collie_tpu.ops.shuffle import feistel_permutation
             perm = feistel_permutation(perm_rng, n)[:n_used]
@@ -501,6 +493,39 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
                     NamedSharding(mesh, P(None, DATA_AXIS, None)))
         return batches
 
+    def _unpack_rows(batch):
+        """Per-step unpack of the slot-domain packed rows — fuses into the
+        step body (no-op for named batch dicts)."""
+        if 'rows' not in batch:
+            return batch
+        block = batch['rows']                          # [B, 2+K]
+        pk = block[:, 0]
+        return {
+            'users': pk >> item_bits,
+            'pos_items': pk & ((1 << item_bits) - 1),
+            'mask': block[:, 1].astype(jnp.float32),
+            # bucket-PAD slots (mask 0) drew against their bucket's row 0 —
+            # a different user's positives — so their ids can land in
+            # [num_items, num_items + deg); clamp before any table gather
+            # (jnp out-of-bounds gathers FILL NaN, which survives a zero
+            # mask)
+            'neg_items': jnp.minimum(block[:, 2:], num_items - 1),
+        }
+
+    def _unpack_rows_full(batches):
+        """Whole-epoch unpack for consumers needing named [S, B(,K)] arrays
+        (the fused-kernel path's operands)."""
+        if 'rows' not in batches:
+            return batches
+        rows = batches['rows']
+        pk = rows[..., 0]
+        return {
+            'users': pk >> item_bits,
+            'pos_items': pk & ((1 << item_bits) - 1),
+            'mask': rows[..., 1].astype(jnp.float32),
+            'neg_items': jnp.minimum(rows[..., 2:], num_items - 1),
+        }
+
     fused_cfg = None
     if training:
         fused_cfg = _fused_epoch_config(model, specs, active, loader, mesh)
@@ -518,7 +543,8 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
             # permutation and the same sampled negatives
             rng = jax.random.fold_in(base_rng, epoch_idx)
             perm_rng, sample_rng, _ = jax.random.split(rng, 3)
-            batches = _epoch_batches(data, perm_rng, sample_rng)
+            batches = _unpack_rows_full(
+                _epoch_batches(data, perm_rng, sample_rng))
 
             adam = _find_adam_state(opt_states[emb_idx])
             lr_e = _find_hyperparams(opt_states[emb_idx])['learning_rate']
@@ -612,6 +638,7 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
 
             def step(carry, batch):
                 params, opt_states, step_i = carry
+                batch = _unpack_rows(batch)
                 loss, grads = jax.value_and_grad(
                     lambda p: model.calculate_loss(
                         p, batch, rng=jax.random.fold_in(dropout_rng, step_i),
@@ -650,8 +677,8 @@ def build_scan_epoch_fns(model, specs, active: List[bool], loader,
             batches = _epoch_batches(data, perm_rng, sample_rng)
 
             def step(_, batch):
-                return None, model.calculate_loss(params, batch, rng=None,
-                                                  training=False)
+                return None, model.calculate_loss(params, _unpack_rows(batch),
+                                                  rng=None, training=False)
 
             _, losses = jax.lax.scan(step, None, batches)
             return losses.mean()
