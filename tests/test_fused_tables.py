@@ -183,3 +183,23 @@ def test_fused_tables_cold_start_both_stages(implicit_train, monkeypatch):
         np.testing.assert_allclose(np.asarray(m1.params[k]),
                                    np.asarray(m0.params[k]),
                                    rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def test_fused_tables_ncf_cf_mlp_pair(implicit_train, monkeypatch):
+    """NeuMF (round 5) fuses each side's cf + mlp tables into one
+    [*, D + mlp_dim] table via custom fuse/unfuse overrides (the halves
+    have different widths, unlike the (embeddings, biases) spec).  Fused
+    trajectory must match the named layout exactly, incl. dropout."""
+    from collie_tpu.model import NeuralCollaborativeFiltering
+
+    for kwargs in ({}, {'dropout_p': 0.3}):
+        m0, l0 = _fit(implicit_train, monkeypatch, fused=False,
+                      cls=NeuralCollaborativeFiltering, **dict(kwargs))
+        assert m0.supports_fused_tables()
+        m1, l1 = _fit(implicit_train, monkeypatch, fused=True,
+                      cls=NeuralCollaborativeFiltering, **dict(kwargs))
+        np.testing.assert_allclose(l1, l0, rtol=1e-5)
+        for k in m0.params:
+            np.testing.assert_allclose(np.asarray(m1.params[k]),
+                                       np.asarray(m0.params[k]),
+                                       rtol=2e-5, atol=2e-6, err_msg=k)
